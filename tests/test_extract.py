@@ -1,0 +1,64 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloudhookup_tpu.config import (
+    ClusterParams,
+    ExtractParams,
+    GroundParams,
+    TowerFilterParams,
+)
+from pointcloudhookup_tpu.core import PointBatch
+from pointcloudhookup_tpu.models.towers import extract_step, towers_from_stats
+
+
+def _small_params(**over):
+    base = dict(
+        ground=GroundParams(min_points_after=100),
+        cluster=ClusterParams(eps=5.0, min_points=30),
+        filters=TowerFilterParams(),
+        max_clusters=32,
+        obb_angles=64,
+    )
+    base.update(over)
+    return ExtractParams(**base)
+
+
+def test_extract_step_finds_towers(corridor):
+    pts, centers = corridor
+    batch = PointBatch.from_numpy(pts, capacity=32768)
+    stats = extract_step(batch.xyz, batch.mask, _small_params())
+    towers = towers_from_stats(
+        {k: np.asarray(v) for k, v in stats.items()}, batch.origin
+    )
+    assert len(towers) == len(centers)
+    got = np.array(sorted(t.center[:2].tolist() for t in towers))
+    want = np.array(sorted(centers[:, :2].tolist()))
+    np.testing.assert_allclose(got, want, atol=2.0)
+    for t in towers:
+        assert t.height > 15.0
+        assert 8.0 < t.width < 50.0
+
+
+def test_extract_dedup_suppresses_close_towers(rng, corridor):
+    # Add a second tower 20 m from an existing one: a separate cluster
+    # (surface gap 8 m > eps 5 m) but within duplicate_threshold 30 m,
+    # so dedup must drop one of the pair.
+    pts, centers = corridor
+    twin = pts[-1500:].copy()
+    twin[:, 0] += 20.0
+    pts2 = np.vstack([pts, twin])
+    batch = PointBatch.from_numpy(pts2, capacity=32768)
+    stats = extract_step(batch.xyz, batch.mask, _small_params())
+    accepted = int(np.asarray(stats["accepted"]).sum())
+    assert accepted == len(centers)
+
+
+def test_extract_ground_points_not_clustered(corridor):
+    pts, _ = corridor
+    batch = PointBatch.from_numpy(pts, capacity=32768)
+    stats = extract_step(batch.xyz, batch.mask, _small_params())
+    keep = np.asarray(stats["ground_keep"])
+    mask = np.asarray(batch.mask)
+    # ground plane (z around 0) must be filtered out
+    z = np.asarray(batch.xyz)[:, 2]
+    assert not keep[mask & (z < np.percentile(z[mask], 25) + 1.0)].any()

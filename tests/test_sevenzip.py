@@ -1,0 +1,127 @@
+import lzma
+import struct
+
+import pytest
+
+from pointcloudhookup_tpu.io.sevenzip import (
+    Entry,
+    SevenZipError,
+    extract_to_directory,
+    pack_directory,
+    read_7z,
+    read_number,
+    write_7z,
+    write_number,
+)
+
+
+@pytest.mark.parametrize(
+    "n", [0, 1, 0x7F, 0x80, 0x3FFF, 0x4000, 123456, 2**31, 2**56 - 1, 2**56, 2**63]
+)
+def test_number_roundtrip(n):
+    import io
+
+    assert read_number(io.BytesIO(write_number(n))) == n
+
+
+def _sample_entries():
+    return [
+        Entry(name="Cbm", is_dir=True),
+        Entry(name="Cbm/project.cbm", data="SUBSYSTEM=F1.cbm\n".encode("utf-8")),
+        Entry(name="Cbm/F1.cbm", data="BLHA=28.1,113.2,55.5,3.0\n杆塔=塔\n".encode("utf-8")),
+        Entry(name="empty.txt", data=b""),
+        Entry(name="big.bin", data=bytes(range(256)) * 500),
+    ]
+
+
+@pytest.mark.parametrize("store", [False, True])
+def test_7z_roundtrip(store):
+    blob = write_7z(_sample_entries(), store=store)
+    back = read_7z(blob)
+    byname = {e.name: e for e in back}
+    assert byname["Cbm"].is_dir
+    assert byname["Cbm/project.cbm"].data == "SUBSYSTEM=F1.cbm\n".encode()
+    assert "杆塔" in byname["Cbm/F1.cbm"].data.decode("utf-8")
+    assert byname["empty.txt"].data == b"" and not byname["empty.txt"].is_dir
+    assert byname["big.bin"].data == bytes(range(256)) * 500
+
+
+def test_7z_directory_roundtrip(tmp_path):
+    src = tmp_path / "src"
+    (src / "Cbm" / "sub").mkdir(parents=True)
+    (src / "Cbm" / "project.cbm").write_text("SUBSYSTEM=a.cbm\n", encoding="utf-8")
+    (src / "Cbm" / "sub" / "a.fam").write_text("_=杆塔编号=P41\n", encoding="utf-8")
+    blob = pack_directory(str(src), level=1)
+    out = tmp_path / "out"
+    out.mkdir()
+    written = extract_to_directory(blob, str(out))
+    assert (out / "Cbm" / "project.cbm").read_text(encoding="utf-8") == "SUBSYSTEM=a.cbm\n"
+    assert (out / "Cbm" / "sub" / "a.fam").read_text(encoding="utf-8") == "_=杆塔编号=P41\n"
+    assert len(written) == 2
+
+
+def test_7z_bad_signature():
+    with pytest.raises(SevenZipError):
+        read_7z(b"NOT7ZZZ" + b"\x00" * 100)
+
+
+def test_7z_reads_lzma1_folder():
+    # Hand-build a single-file archive with an LZMA1 coder (the 7z CLI's
+    # -m0=LZMA mode) to exercise the non-default codec path.
+    payload = b"hello towers " * 100
+    filters = [dict(id=lzma.FILTER_LZMA1, preset=6, dict_size=1 << 16)]
+    comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=filters)
+    packed = comp.compress(payload) + comp.flush()
+    # LZMA1 props: (pb*5 + lp)*9 + lc, dict_size u32le; preset 6 -> lc=3 lp=0 pb=2
+    props = bytes([(2 * 5 + 0) * 9 + 3]) + struct.pack("<I", 1 << 16)
+
+    import io as _io
+    from pointcloudhookup_tpu.io import sevenzip as sz
+
+    hdr = _io.BytesIO()
+    for b in [
+        sz.write_number(sz.K_HEADER),
+        sz.write_number(sz.K_MAIN_STREAMS),
+        sz.write_number(sz.K_PACK_INFO),
+        sz.write_number(0),
+        sz.write_number(1),
+        sz.write_number(sz.K_SIZE),
+        sz.write_number(len(packed)),
+        sz.write_number(sz.K_END),
+        sz.write_number(sz.K_UNPACK_INFO),
+        sz.write_number(sz.K_FOLDER),
+        sz.write_number(1),
+        b"\x00",
+        sz.write_number(1),  # one coder
+        bytes([len(sz.CODEC_LZMA1) | 0x20]),
+        sz.CODEC_LZMA1,
+        sz.write_number(len(props)),
+        props,
+        sz.write_number(sz.K_CODERS_UNPACK_SIZE),
+        sz.write_number(len(payload)),
+        sz.write_number(sz.K_END),
+        sz.write_number(sz.K_END),
+        sz.write_number(sz.K_FILES_INFO),
+        sz.write_number(1),
+        sz.write_number(sz.K_NAMES),
+        sz.write_number(1 + len("a.txt".encode("utf-16-le")) + 2),
+        b"\x00" + "a.txt".encode("utf-16-le") + b"\x00\x00",
+        sz.write_number(sz.K_END),
+        sz.write_number(sz.K_END),
+    ]:
+        hdr.write(b)
+    header = hdr.getvalue()
+    import zlib
+
+    start = struct.pack("<QQI", len(packed), len(header), zlib.crc32(header))
+    blob = (
+        sz.MAGIC
+        + bytes([0, 4])
+        + struct.pack("<I", zlib.crc32(start))
+        + start
+        + packed
+        + header
+    )
+    back = read_7z(blob)
+    assert back[0].name == "a.txt"
+    assert back[0].data == payload
