@@ -1,0 +1,115 @@
+"""Headline benchmark: downsample + ground-removal + cluster throughput.
+
+Measures the fused extraction front-end (voxel downsample -> global
+height-percentile ground filter -> grid-accelerated clustering -> OBB
+stats + filters) on ONE real TPU chip over a synthetic corridor tile,
+reporting input Mpts/sec — the metric BASELINE.json targets at
+>= 200 Mpts/sec/chip (v5e).
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "Mpts/s", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+TARGET_MPTS = 200.0
+N_POINTS = 4 * 1024 * 1024  # 4M-point tile
+WARMUP = 2
+ITERS = 5
+
+
+def build_workload(n):
+    from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
+
+    rng = np.random.default_rng(7)
+    n_towers = 24
+    xs = np.linspace(-1800, 1800, n_towers)
+    ys = 80.0 * np.sin(xs / 500.0)
+    pts, centers = synthetic_corridor(
+        rng,
+        n_ground=int(n * 0.80),
+        n_veg=int(n * 0.12),
+        towers=tuple(zip(xs, ys)),
+        pts_per_tower=max((n - int(n * 0.92)) // n_towers, 1),
+        extent=2000.0,
+        n_line=0,
+    )
+    pts = pts[:n]
+    origin = pts.mean(axis=0)
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[: len(pts)] = (pts - origin).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[len(pts) :] = False
+    return xyz, mask, centers
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
+    from pointcloudhookup_tpu.models.towers import filter_and_dedup
+    from pointcloudhookup_tpu.ops.cluster_grid import grid_dbscan
+    from pointcloudhookup_tpu.ops.ground import ground_filter
+    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats
+    from pointcloudhookup_tpu.ops.voxel import voxel_downsample
+
+    params = ExtractParams(cluster=ClusterParams())
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def frontend(xyz, mask):
+        ds_xyz, ds_mask = voxel_downsample(xyz, mask, 0.1)
+        keep, base = ground_filter(ds_xyz, ds_mask, params.ground)
+        labels, core = grid_dbscan(
+            ds_xyz, keep, params.cluster.eps, params.cluster.min_points,
+            max_cells=65536, min_cell_points=3,
+        )
+        stats = cluster_obb_stats(
+            ds_xyz, labels, keep, max_clusters=params.max_clusters,
+            num_angles=params.obb_angles,
+        )
+        accepted = filter_and_dedup(stats, params.filters)
+        return labels, stats, accepted, base
+
+    xyz_np, mask_np, centers = build_workload(N_POINTS)
+    xyz = jnp.asarray(xyz_np)
+    mask = jnp.asarray(mask_np)
+
+    for _ in range(WARMUP):
+        out = frontend(xyz, mask)
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = frontend(xyz, mask)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    n_towers_found = int(np.asarray(out[2]).sum())
+    mpts = N_POINTS / dt / 1e6
+    result = {
+        "metric": "extract_frontend_throughput",
+        "value": round(mpts, 2),
+        "unit": "Mpts/s",
+        "vs_baseline": round(mpts / TARGET_MPTS, 3),
+        "detail": {
+            "n_points": N_POINTS,
+            "wall_s_per_iter": round(dt, 4),
+            "towers_found": n_towers_found,
+            "towers_expected": len(centers),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Command-line driver: the reference's eight-button GUI workflow
+(/root/reference/pyGUI_towers_test.py:73 — import GIM / import point
+cloud / remove ground / extract towers / match / correct / save) as
+headless subcommands, plus an end-to-end `run-all`.
+
+Usage: python -m pointcloudhookup_tpu <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _echo_reporter():
+    from pointcloudhookup_tpu.utils.logging import Reporter
+
+    return Reporter(None, None, echo=True)
+
+
+def cmd_import_pc(args):
+    from pointcloudhookup_tpu.io.las import read_las
+
+    las = read_las(args.las)
+    xyz = las.xyz()
+    info = dict(
+        points=len(las),
+        point_format=las.point_format,
+        version=list(las.version),
+        scales=las.scales.tolist(),
+        offsets=las.offsets.tolist(),
+        min=xyz.min(axis=0).tolist() if len(las) else None,
+        max=xyz.max(axis=0).tolist() if len(las) else None,
+    )
+    print(json.dumps(info, indent=2))
+
+
+def cmd_import_gim(args):
+    from pointcloudhookup_tpu.models.pipeline import import_gim
+
+    records, folder, _header = import_gim(
+        args.gim, args.output_folder, log_callback=print
+    )
+    for r in records:
+        props = r.properties or {}
+        print(
+            f"{props.get('杆塔编号', r.name)}: lat={r.lat:.6f} lng={r.lng:.6f} "
+            f"h={r.h:.2f} r={r.r:.1f} ({r.cbm_path})"
+        )
+    if args.table:
+        import pandas as pd
+
+        rows = [
+            {
+                "系统层级": r.name,
+                "系统类型": r.type,
+                "经度": r.lng,
+                "纬度": r.lat,
+                "高度": r.h,
+                "北方向偏角": r.r,
+                "杆塔编号": (r.properties or {}).get("杆塔编号", ""),
+                "CBM路径": r.cbm_path,
+            }
+            for r in records
+        ]
+        df = pd.DataFrame(rows)
+        try:
+            df.to_excel(args.table, index=False)
+        except (ImportError, ModuleNotFoundError, ValueError):
+            df.to_csv(args.table.rsplit(".", 1)[0] + ".csv", index=False)
+        print(f"table -> {args.table}")
+
+
+def cmd_compress(args):
+    from pointcloudhookup_tpu.models.pipeline import compress
+
+    n = compress(
+        args.input,
+        args.output,
+        voxel_size=args.voxel_size,
+        chunk_size=args.chunk_size,
+        per_chunk=args.per_chunk,
+        log_callback=print,
+    )
+    print(f"{n} points written")
+
+
+def cmd_extract(args):
+    from pointcloudhookup_tpu.models.pipeline import extract
+
+    towers = extract(
+        args.las,
+        log_callback=print,
+        eps=args.eps,
+        min_points=args.min_points,
+        aspect_ratio_threshold=args.aspect_ratio_threshold,
+        min_height=args.min_height,
+        max_width=args.max_width,
+        min_width=args.min_width,
+        duplicate_threshold=args.duplicate_threshold,
+        output_dir=args.output_dir,
+        excel_path=args.excel,
+    )
+    for t in towers:
+        print(
+            f"{t.id}: center=({t.center[0]:.2f},{t.center[1]:.2f},{t.center[2]:.2f}) "
+            f"h={t.height:.1f} w={t.width:.1f} north={t.north_angle:.1f} pts={t.num_points}"
+        )
+
+
+def _load_towers_for_match(args):
+    from pointcloudhookup_tpu.models.pipeline import extract, import_gim
+
+    records, folder, _ = import_gim(args.gim, args.output_folder)
+    towers = extract(args.las, log_callback=print, eps=args.eps, min_points=args.min_points)
+    return records, folder, towers
+
+
+def cmd_match(args, corrected: bool = False):
+    from pointcloudhookup_tpu.models import pipeline
+
+    records, folder, towers = _load_towers_for_match(args)
+    fn = pipeline.correct if corrected else pipeline.match
+    res = fn(records, towers, region_n_value=args.region_n_value)
+    print(f"{len(res.pairs)} pairs matched")
+    for gi, pi in res.pairs:
+        print(f"  GIM[{gi}] {res.gim_rows[gi][0]} <-> PC[{pi}] {res.pc_rows[pi][0]}")
+    if args.csv:
+        res.to_csv(args.csv)
+        print(f"tables -> {args.csv}")
+    if corrected and args.save:
+        rows = pipeline.corrected_rows_from_result(res, records)
+        ok = pipeline.save_gim(folder, rows, args.save, original_gim_path=args.gim, log_callback=print)
+        print("saved" if ok else "save FAILED")
+
+
+def cmd_run_all(args):
+    """import pc -> compress -> extract -> import gim -> correct -> save."""
+    import os
+
+    from pointcloudhookup_tpu.models import pipeline
+
+    ds = args.las.rsplit(".", 1)[0] + "_ds.las"
+    pipeline.compress(args.las, ds, voxel_size=args.voxel_size, log_callback=print)
+    towers = pipeline.extract(ds, log_callback=print, eps=args.eps, min_points=args.min_points)
+    records, folder, _ = pipeline.import_gim(args.gim, args.output_folder)
+    res = pipeline.correct(records, towers, region_n_value=args.region_n_value)
+    print(f"{len(res.pairs)} towers corrected")
+    rows = pipeline.corrected_rows_from_result(res, records)
+    ok = pipeline.save_gim(folder, rows, args.out_gim, original_gim_path=args.gim, log_callback=print)
+    if args.csv:
+        res.to_csv(args.csv)
+    sys.exit(0 if ok else 1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pointcloudhookup_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("import-pc", help="inspect a LAS file")
+    sp.add_argument("las")
+    sp.set_defaults(fn=cmd_import_pc)
+
+    sp = sub.add_parser("import-gim", help="unpack + parse a GIM file")
+    sp.add_argument("gim")
+    sp.add_argument("--output-folder", default="output")
+    sp.add_argument("--table", help="write tower_data table (xlsx/csv)")
+    sp.set_defaults(fn=cmd_import_gim)
+
+    sp = sub.add_parser("compress", help="voxel-grid downsample a LAS file")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--voxel-size", type=float, default=0.1)
+    sp.add_argument("--chunk-size", type=int, default=500_000)
+    sp.add_argument("--per-chunk", action="store_true", help="reference-parity per-chunk voxel dedup")
+    sp.set_defaults(fn=cmd_compress)
+
+    def add_extract_args(sp):
+        sp.add_argument("--eps", type=float, default=8.0)
+        sp.add_argument("--min-points", type=int, default=80)
+        sp.add_argument("--aspect-ratio-threshold", type=float, default=0.8)
+        sp.add_argument("--min-height", type=float, default=15.0)
+        sp.add_argument("--max-width", type=float, default=50.0)
+        sp.add_argument("--min-width", type=float, default=8.0)
+        sp.add_argument("--duplicate-threshold", type=float, default=30.0)
+
+    sp = sub.add_parser("extract", help="extract towers from a LAS tile")
+    sp.add_argument("las")
+    add_extract_args(sp)
+    sp.add_argument("--output-dir", help="save per-tower LAS files here")
+    sp.add_argument("--excel", help="towers_info table path")
+    sp.set_defaults(fn=cmd_extract)
+
+    for name, corrected in (("match", False), ("correct", True)):
+        sp = sub.add_parser(name, help=f"{name} GIM towers against a LAS tile")
+        sp.add_argument("gim")
+        sp.add_argument("las")
+        add_extract_args(sp)
+        sp.add_argument("--region-n-value", type=float, default=25.0)
+        sp.add_argument("--output-folder", default="output")
+        sp.add_argument("--csv", help="write the side-by-side tables")
+        if corrected:
+            sp.add_argument("--save", help="write the corrected .gim here")
+        sp.set_defaults(fn=lambda a, c=corrected: cmd_match(a, c))
+
+    sp = sub.add_parser("run-all", help="full workflow: compress -> extract -> correct -> save")
+    sp.add_argument("las")
+    sp.add_argument("gim")
+    sp.add_argument("out_gim")
+    add_extract_args(sp)
+    sp.add_argument("--voxel-size", type=float, default=0.1)
+    sp.add_argument("--region-n-value", type=float, default=25.0)
+    sp.add_argument("--output-folder", default="output")
+    sp.add_argument("--csv")
+    sp.set_defaults(fn=cmd_run_all)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Double-buffered host -> device tile streaming.
+
+BASELINE config 5 is a multi-tile 50M+ point corridor run; the host must
+decode the next LAS tile while the device processes the current one.
+The reference's analogue is sequential chunk loops with disk barriers
+(/root/reference/ui/import_PC.py:45-58); here a background thread
+prefetches (decode + pad + jax.device_put) one tile ahead, so device
+compute and host I/O overlap.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TileStreamer:
+    """Iterates (xyz f32[capacity,3] device, mask bool[capacity] device,
+    meta dict) over a sequence of tile sources with one-tile prefetch.
+
+    `sources` yields either file paths (decoded with io.las.read_las) or
+    numpy f64[N,3] arrays.  Tiles larger than capacity are split.
+    """
+
+    def __init__(
+        self,
+        sources: Iterable,
+        capacity: int,
+        origin: Optional[np.ndarray] = None,
+        device=None,
+        decode: Optional[Callable] = None,
+        prefetch: int = 1,
+    ):
+        self.sources = list(sources)
+        self.capacity = capacity
+        self.origin = None if origin is None else np.asarray(origin, np.float64)
+        self.device = device
+        self.decode = decode
+        self.prefetch = max(1, prefetch)
+
+    def _load(self, source) -> np.ndarray:
+        if self.decode is not None:
+            return np.asarray(self.decode(source), np.float64)
+        if isinstance(source, np.ndarray):
+            return np.asarray(source, np.float64)
+        from pointcloudhookup_tpu.io.las import read_las
+
+        return read_las(source).xyz()
+
+    def _chunks(self) -> Iterator[tuple[np.ndarray, dict]]:
+        for i, src in enumerate(self.sources):
+            pts = self._load(src).reshape(-1, 3)
+            for start in range(0, max(len(pts), 1), self.capacity):
+                chunk = pts[start : start + self.capacity]
+                yield chunk, dict(tile=i, offset=start, source=src, n=len(chunk))
+
+    def _prepare(self, chunk: np.ndarray, meta: dict):
+        origin = self.origin if self.origin is not None else (
+            chunk.mean(axis=0) if len(chunk) else np.zeros(3)
+        )
+        xyz = np.zeros((self.capacity, 3), np.float32)
+        xyz[: len(chunk)] = (chunk - origin).astype(np.float32)
+        mask = np.zeros(self.capacity, bool)
+        mask[: len(chunk)] = True
+        xa = jnp.asarray(xyz)
+        ma = jnp.asarray(mask)
+        if self.device is not None:
+            xa = jax.device_put(xa, self.device)
+            ma = jax.device_put(ma, self.device)
+        meta = dict(meta, origin=origin)
+        return xa, ma, meta
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+        errors: list[BaseException] = []
+
+        def producer():
+            try:
+                for chunk, meta in self._chunks():
+                    q.put(self._prepare(chunk, meta))
+            except BaseException as e:  # surfaced on the consumer side
+                errors.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+        if errors:
+            raise errors[0]
+
+
+def stream_extract(
+    sources,
+    capacity: int,
+    params=None,
+    origin: Optional[np.ndarray] = None,
+):
+    """Run the extraction step over streamed tiles; returns a list of
+    per-tile (stats dict numpy, meta).  One-tile prefetch keeps the
+    device busy while the host decodes."""
+    from pointcloudhookup_tpu.config import ExtractParams
+    from pointcloudhookup_tpu.models.towers import extract_step
+
+    params = params or ExtractParams()
+    results = []
+    for xyz, mask, meta in TileStreamer(sources, capacity, origin=origin):
+        stats = extract_step(xyz, mask, params)
+        results.append(({k: np.asarray(v) for k, v in stats.items()}, meta))
+    return results

@@ -1,0 +1,521 @@
+"""Headless public pipeline API.
+
+Mirrors the reference's workflow surface with the same parameter names
+and defaults so configurations map 1:1, but fully decoupled from any
+GUI:
+
+  compress(...)   <- run_voxel_downsampling (/root/reference/ui/import_PC.py:15)
+  extract(...)    <- extract_towers (/root/reference/utils/tower_extraction.py:20)
+  match(...)      <- match_from_gim_tower_list (/root/reference/utils/table_match_gim.py:225)
+  correct(...)    <- correct_from_gim_tower_list (:339)
+  save_gim(...)   <- update_and_compress_from_correction (/root/reference/ui/save_cbm.py:268)
+  import_gim(...) <- GIMExtractor + GIMTower.parse (/root/reference/ui/compress.py:50,
+                     /root/reference/ui/parsetower.py:17)
+
+Compute runs on device via the jitted ops; file I/O and the f64 CRS
+reference path stay on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloudhookup_tpu.config import (
+    ClusterParams,
+    ExtractParams,
+    GroundParams,
+    MatchParams,
+    TowerFilterParams,
+)
+from pointcloudhookup_tpu.core.batch import round_up
+from pointcloudhookup_tpu.io.cbm import apply_corrections, load_towers_from_gim_folder
+from pointcloudhookup_tpu.io.gim import extract_gim, write_gim
+from pointcloudhookup_tpu.io.las import LasData, make_las, read_las, write_las
+from pointcloudhookup_tpu.models.towers import Tower, extract_step, towers_from_stats
+from pointcloudhookup_tpu.ops.geo import (
+    GeoidGrid,
+    ellipsoid_to_orthometric,
+    haversine_matrix,
+    tm_inverse,
+)
+from pointcloudhookup_tpu.ops.voxel import voxel_downsample, voxel_downsample_chunked
+from pointcloudhookup_tpu.utils.logging import Reporter
+
+
+# ------------------------------------------------------------ compress
+def compress(
+    input_path: str,
+    output_path: str,
+    voxel_size: float = 0.1,
+    chunk_size: int = 500_000,
+    progress_callback=None,
+    log_callback=None,
+    per_chunk: bool = False,
+) -> int:
+    """Voxel-grid downsample a LAS file on device; preserves header
+    scales/offsets/point-format like the reference.  per_chunk=True
+    replicates the reference's chunk-local voxel dedup.  Returns the
+    output point count."""
+    rep = Reporter(progress_callback, log_callback)
+    las = read_las(input_path)
+    pts = las.xyz()
+    rep.log(f"read {len(pts)} points from {input_path}")
+    rep.progress(10)
+
+    origin = pts.mean(axis=0) if len(pts) else np.zeros(3)
+    centered = (pts - origin).astype(np.float32)
+    if per_chunk:
+        cap = round_up(max(len(pts), 1), chunk_size)
+    else:
+        cap = round_up(max(len(pts), 1), 1024)
+    xyz = np.zeros((cap, 3), np.float32)
+    xyz[: len(pts)] = centered
+    mask = np.zeros(cap, bool)
+    mask[: len(pts)] = True
+
+    if per_chunk:
+        out_xyz, out_mask = voxel_downsample_chunked(
+            jnp.asarray(xyz), jnp.asarray(mask), voxel_size, chunk_size=chunk_size
+        )
+    else:
+        out_xyz, out_mask = voxel_downsample(jnp.asarray(xyz), jnp.asarray(mask), voxel_size)
+    rep.progress(80)
+    out = np.asarray(out_xyz)[np.asarray(out_mask)].astype(np.float64) + origin
+
+    reduced = make_las(
+        out, scales=las.scales, offsets=las.offsets, point_format=las.point_format,
+        version=las.version,
+    )
+    write_las(reduced, output_path)
+    rep.progress(100)
+    rep.log(f"downsampled to {len(out)} points -> {output_path}")
+    return len(out)
+
+
+# ------------------------------------------------------------ extract
+def extract(
+    input_las_path: str,
+    progress_callback=None,
+    log_callback=None,
+    eps: float = 8.0,
+    min_points: int = 80,
+    aspect_ratio_threshold: float = 0.8,
+    min_height: float = 15.0,
+    max_width: float = 50.0,
+    min_width: float = 8.0,
+    duplicate_threshold: float = 30.0,
+    params: Optional[ExtractParams] = None,
+    output_dir: Optional[str] = None,
+    excel_path: Optional[str] = None,
+    max_clusters: int = 128,
+) -> list[Tower]:
+    """Extract transmission towers from a LAS tile.
+
+    Kwarg names/defaults mirror extract_towers
+    (/root/reference/utils/tower_extraction.py:20-32).  Set `params` to
+    override the full parameter tree (per-chunk parity mode etc.).
+    When `output_dir` is given, each tower's points are saved to
+    output_dir/tower_<label>.las like the reference; `excel_path` writes
+    the towers_info table (xlsx if an engine is available, else csv).
+    """
+    rep = Reporter(progress_callback, log_callback)
+    if params is None:
+        params = ExtractParams(
+            ground=GroundParams(),
+            cluster=ClusterParams(eps=eps, min_points=min_points),
+            filters=TowerFilterParams(
+                aspect_ratio_threshold=aspect_ratio_threshold,
+                min_height=min_height,
+                max_width=max_width,
+                min_width=min_width,
+                duplicate_threshold=duplicate_threshold,
+            ),
+            max_clusters=max_clusters,
+        )
+
+    rep.log(f"reading {input_las_path}")
+    rep.progress(5)
+    las = read_las(input_las_path)
+    pts = las.xyz()
+    rep.log(f"read {len(pts)} points")
+
+    towers, stats, origin = extract_from_points(pts, params)
+    rep.progress(90)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        labels = np.asarray(stats["labels"])[: len(pts)]
+        for t in towers:
+            sel = labels == t.label
+            tower_pts = pts[sel[: len(pts)]]
+            out = make_las(
+                tower_pts, scales=las.scales, offsets=las.offsets,
+                point_format=las.point_format, version=las.version,
+            )
+            write_las(out, os.path.join(output_dir, f"tower_{t.label}.las"))
+        rep.log(f"saved {len(towers)} tower LAS files to {output_dir}")
+
+    if excel_path:
+        export_towers_table(towers, excel_path)
+        rep.log(f"tower table written to {excel_path}")
+
+    rep.progress(100)
+    rep.log(f"extraction complete: {len(towers)} towers")
+    return towers
+
+
+def extract_from_points(
+    points: np.ndarray,
+    params: ExtractParams = ExtractParams(),
+    capacity: Optional[int] = None,
+) -> tuple[list[Tower], dict, np.ndarray]:
+    """Extraction from an in-memory f64[N,3] world-coordinate array.
+    Returns (towers, device stats dict as numpy, origin).  `capacity`
+    pins the padded buffer size (same capacity -> reused executable)."""
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    origin = points.mean(axis=0) if len(points) else np.zeros(3)
+    pad = params.cluster.chunk_size if params.cluster.per_chunk else 1024
+    cap = capacity if capacity is not None else round_up(max(len(points), 1), pad)
+    xyz = np.zeros((cap, 3), np.float32)
+    xyz[: len(points)] = (points - origin).astype(np.float32)
+    mask = np.zeros(cap, bool)
+    mask[: len(points)] = True
+    stats = extract_step(jnp.asarray(xyz), jnp.asarray(mask), params)
+    stats = {k: np.asarray(v) for k, v in stats.items()}
+    towers = towers_from_stats(stats, origin)
+    return towers, stats, origin
+
+
+def export_towers_table(towers: Sequence[Tower], path: str) -> None:
+    """Write the towers_info table with the reference's Chinese headers
+    (/root/reference/utils/tower_extraction.py:193-202)."""
+    import pandas as pd
+
+    rows = [
+        {
+            "ID": t.id,
+            "经度": t.center[0],
+            "纬度": t.center[1],
+            "海拔高度": t.center[2],
+            "杆塔高度": t.height,
+            "北方向偏角": t.north_angle,
+            "宽度": t.width,
+            "长宽比": t.height / max(t.width, 1e-6),
+        }
+        for t in towers
+    ]
+    df = pd.DataFrame(rows)
+    if path.endswith(".xlsx"):
+        try:
+            df.to_excel(path, index=False)
+            return
+        except (ImportError, ModuleNotFoundError):
+            path = path[:-5] + ".csv"
+    df.to_csv(path, index=False)
+
+
+# ------------------------------------------------------------ reproject
+def reproject_las(
+    input_path: str,
+    output_path: str,
+    log_callback=None,
+    batch: int = 1 << 20,
+) -> int:
+    """Transform every point of a LAS file EPSG:4547 -> WGS84 lon/lat
+    (the whole-cloud CRS batch job prototyped in
+    /root/reference/test/005.py — 1M-point chunks through pyproj).
+
+    TPU-native path: one host-f64 LocalTaylor expansion around the tile
+    centroid, then f32 delta evaluation on device in `batch`-point
+    blocks — sub-mm agreement with the f64 inverse over a +-2 km tile.
+    Output LAS stores degrees at 1e-7 scale.  Returns the point count.
+    """
+    from pointcloudhookup_tpu.ops.geo import local_cgcs2000_to_wgs84
+
+    rep = Reporter(None, log_callback)
+    las = read_las(input_path)
+    xyz = las.xyz()
+    n = len(xyz)
+    e0, n0 = (float(xyz[:, 0].mean()), float(xyz[:, 1].mean())) if n else (500000.0, 0.0)
+    lt = local_cgcs2000_to_wgs84(e0, n0)
+
+    lons = np.empty(n)
+    lats = np.empty(n)
+    taylor = jax.jit(lambda de, dn: lt.eval_delta(de, dn, jnp))
+    for start in range(0, n, batch):
+        sl = slice(start, min(start + batch, n))
+        de = jnp.asarray((xyz[sl, 0] - e0).astype(np.float32))
+        dn = jnp.asarray((xyz[sl, 1] - n0).astype(np.float32))
+        dlon, dlat = taylor(de, dn)
+        lons[sl] = lt.u0 + np.asarray(dlon, np.float64)
+        lats[sl] = lt.v0 + np.asarray(dlat, np.float64)
+    out = np.column_stack([lons, lats, xyz[:, 2]])
+    deg = make_las(
+        out,
+        scales=[1e-7, 1e-7, las.scales[2]],
+        offsets=[float(np.floor(lons.min())) if n else 0.0,
+                 float(np.floor(lats.min())) if n else 0.0,
+                 las.offsets[2]],
+        point_format=las.point_format,
+        version=las.version,
+    )
+    write_las(deg, output_path)
+    rep.log(f"reprojected {n} points -> {output_path}")
+    return n
+
+
+# ------------------------------------------------------------ import GIM
+def import_gim(gim_path: str, output_folder: str = "output", log_callback=None):
+    """Unpack a .gim and parse its tower records.
+    Returns (tower_records, extracted_folder, header)."""
+    rep = Reporter(None, log_callback)
+    folder, header = extract_gim(gim_path, output_folder)
+    rep.log(f"extracted GIM to {folder}")
+    records = load_towers_from_gim_folder(folder, rep.log)
+    rep.log(f"parsed {len(records)} towers from GIM")
+    return records, folder, header
+
+
+# ------------------------------------------------------------ match
+@dataclasses.dataclass
+class ConvertedTower:
+    """A point-cloud tower after CRS + elevation conversion (mirrors the
+    reference's converted_tower dict,
+    /root/reference/utils/table_match_gim.py:87-98)."""
+
+    id: str
+    converted_center: list  # [lon_wgs84, lat_wgs84, orthometric_h]
+    height: float
+    north_angle: float
+    original_center: list  # [e_cgcs2000, n_cgcs2000, h_ellipsoid]
+    ellipsoid_height: float
+    orthometric_height: float
+    n_value: float
+    height_conversion_applied: bool
+
+
+@dataclasses.dataclass
+class MatchResult:
+    """Headless equivalent of the reference's Qt match/correct panel:
+    the two tables plus the pair list and updated records."""
+
+    pairs: list  # [(gim_idx, pc_idx)]
+    converted_towers: list  # [ConvertedTower]
+    gim_rows: list  # left table rows [id, lat, lng, h, r]
+    pc_rows: list  # right table rows [id, lat, lng, h_ortho, north]
+    corrected_gim: bool = False  # True when produced by correct()
+
+    def to_csv(self, path: str) -> None:
+        import pandas as pd
+
+        left = pd.DataFrame(
+            self.gim_rows, columns=["杆塔编号", "纬度", "经度", "高程", "北方向偏角"]
+        )
+        right = pd.DataFrame(
+            self.pc_rows,
+            columns=["杆塔编号(PC)", "纬度(WGS84)", "经度(WGS84)", "高程(正高)", "北方向偏角(PC)"],
+        )
+        pd.concat([left, right], axis=1).to_csv(path, index=False)
+
+
+def convert_pointcloud_towers(
+    pc_towers: Sequence[Tower],
+    region_n_value: float = 25.0,
+    geoid: Optional[GeoidGrid] = None,
+) -> list[ConvertedTower]:
+    """CGCS2000 -> WGS84 + ellipsoid -> orthometric for extracted towers
+    (mirrors convert_pointcloud_ellipsoid_to_orthometric,
+    /root/reference/utils/table_match_gim.py:37-142).  Host f64 CRS: the
+    tower list is small; precision beats device batching here."""
+    out = []
+    for i, t in enumerate(pc_towers):
+        e, n, h_ellip = float(t.center[0]), float(t.center[1]), float(t.center[2])
+        lon, lat = tm_inverse(e, n, xp=np)
+        lon, lat = float(lon), float(lat)
+        applied = True
+        h_ortho = float(
+            ellipsoid_to_orthometric(lat, lon, h_ellip, geoid, region_n_value, xp=np)
+        )
+        out.append(
+            ConvertedTower(
+                id=f"PC-{i + 1}",
+                converted_center=[lon, lat, h_ortho],
+                height=float(t.height),
+                north_angle=float(t.north_angle),
+                original_center=[e, n, h_ellip],
+                ellipsoid_height=h_ellip,
+                orthometric_height=h_ortho,
+                n_value=h_ellip - h_ortho,
+                height_conversion_applied=applied,
+            )
+        )
+    return out
+
+
+def match_towers(
+    gim_list: Sequence,
+    converted: Sequence[ConvertedTower],
+    distance_threshold: float = 50.0,
+    height_threshold: float = 100.0,
+) -> list[tuple[int, int]]:
+    """Greedy first-match pairing, exactly the reference's loop
+    (/root/reference/utils/table_match_gim.py:169-196): for each GIM
+    tower in order, the FIRST point-cloud tower within both thresholds
+    wins; point-cloud towers are NOT consumed (may pair repeatedly).
+    Vectorized: one haversine matrix + per-row argmax of the first True.
+    """
+    if not len(gim_list) or not len(converted):
+        return []
+    g_lat = np.array([float(t.get("lat", 0) or 0) for t in gim_list])
+    g_lon = np.array([float(t.get("lng", 0) or 0) for t in gim_list])
+    g_h = np.array([float(t.get("h", 0) or 0) for t in gim_list])
+    p_lon = np.array([c.converted_center[0] for c in converted])
+    p_lat = np.array([c.converted_center[1] for c in converted])
+    p_h = np.array([c.converted_center[2] for c in converted])
+    dist = haversine_matrix(g_lat, g_lon, p_lat, p_lon, xp=np)
+    ok = (dist <= distance_threshold) & (
+        np.abs(g_h[:, None] - p_h[None, :]) <= height_threshold
+    )
+    pairs = []
+    any_ok = ok.any(axis=1)
+    first = ok.argmax(axis=1)
+    for i in np.nonzero(any_ok)[0]:
+        pairs.append((int(i), int(first[i])))
+    return pairs
+
+
+def _tower_prop(gim_tower, key, default=""):
+    props = gim_tower.get("properties") or {}
+    return props.get(key, default) if isinstance(props, dict) else default
+
+
+def _build_result(
+    gim_list, converted, pairs, corrected: bool
+) -> MatchResult:
+    gim_rows = [
+        [
+            _tower_prop(t, "杆塔编号"),
+            f"{float(t.get('lat', 0) or 0):.6f}",
+            f"{float(t.get('lng', 0) or 0):.6f}",
+            f"{float(t.get('h', 0) or 0):.2f}",
+            f"{float(t.get('r', 0) or 0):.1f}",
+        ]
+        for t in gim_list
+    ]
+    pc_rows = [
+        [
+            c.id,
+            f"{c.converted_center[1]:.6f}",
+            f"{c.converted_center[0]:.6f}",
+            f"{c.converted_center[2]:.2f}",
+            f"{c.north_angle:.1f}",
+        ]
+        for c in converted
+    ]
+    for gi, pi in pairs:
+        gim_id = _tower_prop(gim_list[gi], "杆塔编号")
+        gim_r = float(gim_list[gi].get("r", 0) or 0)
+        # matched PC towers adopt the GIM id + north angle
+        # (ref: table_match_gim.py:291-316)
+        converted[pi].id = str(gim_id)
+        converted[pi].north_angle = gim_r
+        pc_rows[pi][0] = str(gim_id)
+        pc_rows[pi][4] = f"{gim_r:.1f}"
+        if corrected:
+            # correct(): point-cloud coordinates flow back into the GIM
+            # table; the GIM north angle is kept (ref: :403-444)
+            c = converted[pi]
+            gim_rows[gi][1] = f"{c.converted_center[1]:.6f}"
+            gim_rows[gi][2] = f"{c.converted_center[0]:.6f}"
+            gim_rows[gi][3] = f"{c.converted_center[2]:.2f}"
+    return MatchResult(
+        pairs=pairs,
+        converted_towers=list(converted),
+        gim_rows=gim_rows,
+        pc_rows=pc_rows,
+        corrected_gim=corrected,
+    )
+
+
+def match(
+    gim_list: Sequence,
+    pc_towers: Sequence[Tower],
+    region_n_value: float = 25.0,
+    distance_threshold: float = 50.0,
+    height_threshold: float = 100.0,
+    geoid: Optional[GeoidGrid] = None,
+) -> MatchResult:
+    """Match GIM towers to extracted point-cloud towers (headless
+    equivalent of match_from_gim_tower_list)."""
+    converted = convert_pointcloud_towers(pc_towers, region_n_value, geoid)
+    pairs = match_towers(gim_list, converted, distance_threshold, height_threshold)
+    return _build_result(gim_list, converted, pairs, corrected=False)
+
+
+def correct(
+    gim_list: Sequence,
+    pc_towers: Sequence[Tower],
+    region_n_value: float = 25.0,
+    distance_threshold: float = 50.0,
+    height_threshold: float = 100.0,
+    geoid: Optional[GeoidGrid] = None,
+) -> MatchResult:
+    """Match + write point-cloud derived coordinates back into the GIM
+    rows (headless correct_from_gim_tower_list)."""
+    converted = convert_pointcloud_towers(pc_towers, region_n_value, geoid)
+    pairs = match_towers(gim_list, converted, distance_threshold, height_threshold)
+    return _build_result(gim_list, converted, pairs, corrected=True)
+
+
+# ------------------------------------------------------------ save
+def corrected_rows_from_result(result: MatchResult, gim_list: Sequence) -> list[dict]:
+    """Build the corrected-data rows save_gim consumes, carrying each
+    matched tower's CBM path."""
+    rows = []
+    for gi, pi in result.pairs:
+        c = result.converted_towers[pi]
+        rows.append(
+            {
+                "杆塔编号": _tower_prop(gim_list[gi], "杆塔编号"),
+                "纬度": c.converted_center[1],
+                "经度": c.converted_center[0],
+                "高度": c.converted_center[2],
+                "北方向偏角": c.north_angle,
+                "CBM路径": gim_list[gi].get("cbm_path", ""),
+            }
+        )
+    return rows
+
+
+def save_gim(
+    extracted_gim_folder: str,
+    corrected_data: Sequence[dict],
+    output_gim_path: str,
+    original_gim_path: Optional[str] = None,
+    log_callback=None,
+    level: int = 9,
+) -> bool:
+    """Update CBM BLHA lines from corrected rows and repack the .gim
+    (headless update_and_compress_from_correction,
+    /root/reference/ui/save_cbm.py:268-281)."""
+    rep = Reporter(None, log_callback)
+    try:
+        rows = list(corrected_data)
+        updated = apply_corrections(extracted_gim_folder, rows, rep.log)
+        rep.log(f"updated {updated} CBM files")
+        header = None
+        if original_gim_path and os.path.exists(original_gim_path):
+            with open(original_gim_path, "rb") as f:
+                header = f.read(776)
+        write_gim(extracted_gim_folder, output_gim_path, header=header, level=level)
+        rep.log(f"GIM written: {output_gim_path}")
+        return True
+    except (OSError, ValueError) as e:
+        rep.log(f"save failed: {e}")
+        return False

@@ -7,10 +7,18 @@ and a north angle from the OBB x-axis (:164-177).  Convex hulls are
 data-dependent and serial; on TPU we exploit that transmission towers
 are gravity-aligned: the minimum-volume box of a tower is (to measurement
 noise) the minimum-AREA rectangle of the XY footprint extruded over the
-z extent.  We find that rectangle for ALL clusters at once by scanning a
-dense grid of candidate orientations — two [N,2]x[2,A] matmuls plus
-segment min/max reductions, fully MXU/VPU friendly, no data-dependent
-shapes.
+z extent.  That rectangle is found for ALL clusters at once by scanning
+a dense grid of candidate orientations.
+
+TPU mapping (scatter-free — TPU scatters serialize per update row):
+  * points are sorted by cluster label once; per-cluster sums/counts are
+    segmented-scan reductions read at segment end rows (ops/segments.py);
+  * the angle scan runs in `angle_tile`-wide blocks of a lax.scan so
+    peak memory is [N, angle_tile] regardless of num_angles;
+  * `points_cap` optionally truncates the label-sorted buffer — cluster
+    members sort to the front, so with C clustered points << N the
+    angle work shrinks to [points_cap, ...]; overflow beyond the cap is
+    reported in the 'overflow' output instead of silently clipping.
 
 Angle resolution pi/2/A (A=256 -> 0.35 deg) bounds the extent error at
 ~0.6% of the cluster diagonal, well inside the reference's acceptance
@@ -23,10 +31,30 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+from pointcloudhookup_tpu.ops.segments import (
+    boundary_flags,
+    segment_spans,
+    segment_sum_rows,
+    segmented_scan,
+)
 
 
-@functools.partial(jax.jit, static_argnames=("max_clusters", "num_angles"))
-def cluster_obb_stats(xyz, labels, mask, *, max_clusters: int = 128, num_angles: int = 256):
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_clusters", "num_angles", "angle_tile", "points_cap"),
+)
+def cluster_obb_stats(
+    xyz,
+    labels,
+    mask,
+    *,
+    max_clusters: int = 128,
+    num_angles: int = 256,
+    angle_tile: int = 16,
+    points_cap: int | None = None,
+):
     """Per-cluster gravity-aligned OBB stats.
 
     xyz: f32[N,3]; labels: i32[N] in [0, max_clusters) or -1; mask: bool[N].
@@ -34,54 +62,104 @@ def cluster_obb_stats(xyz, labels, mask, *, max_clusters: int = 128, num_angles:
       count, centroid[K,3] (mean of member points), center[K,3] (box center),
       extent[K,3] (ex >= ey horizontal extents, ez vertical), angle (rad of
       the long horizontal axis), north_angle (deg, reference convention),
-      alive (bool).
+      alive (bool), plus a scalar 'overflow' count of clustered points
+      beyond points_cap (0 when everything was measured).
     """
-    k = max_clusters
     n = xyz.shape[0]
-    valid = (labels >= 0) & (labels < k) & mask
-    seg = jnp.where(valid, labels, k)
-    w = valid.astype(jnp.float32)
-
-    counts = jax.ops.segment_sum(w, seg, num_segments=k + 1)[:k]
-    alive = counts > 0
-    sums = jax.ops.segment_sum(xyz * w[:, None], seg, num_segments=k + 1)[:k]
-    centroid = sums / jnp.maximum(counts, 1.0)[:, None]
-
+    k = max_clusters
+    if num_angles % angle_tile:
+        raise ValueError("num_angles must be a multiple of angle_tile")
     big = jnp.float32(3.0e38)
-    # --- angle scan for the min-area XY rectangle
-    a = jnp.arange(num_angles, dtype=jnp.float32) * (jnp.pi / 2.0 / num_angles)
-    du = jnp.stack([jnp.cos(a), jnp.sin(a)])  # [2, A]
-    dv = jnp.stack([-jnp.sin(a), jnp.cos(a)])  # [2, A]
-    xy = xyz[:, :2]
-    # full f32: reduced-precision dots quantize the projections by ~0.3 m
-    # at corridor scales, inflating the fitted extents
-    pu = jnp.dot(xy, du, precision=jax.lax.Precision.HIGHEST)  # [N, A]
-    pv = jnp.dot(xy, dv, precision=jax.lax.Precision.HIGHEST)
-    pu_hi = jax.ops.segment_max(jnp.where(valid[:, None], pu, -big), seg, num_segments=k + 1)[:k]
-    pu_lo = -jax.ops.segment_max(jnp.where(valid[:, None], -pu, -big), seg, num_segments=k + 1)[:k]
-    pv_hi = jax.ops.segment_max(jnp.where(valid[:, None], pv, -big), seg, num_segments=k + 1)[:k]
-    pv_lo = -jax.ops.segment_max(jnp.where(valid[:, None], -pv, -big), seg, num_segments=k + 1)[:k]
-    eu = pu_hi - pu_lo  # [K, A]
-    ev = pv_hi - pv_lo
+    valid = (labels >= 0) & (labels < k) & mask
+    lab = jnp.where(valid, labels, k).astype(jnp.int32)
+
+    # ---- sort by label; cluster members land at the front
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lab_s, order = lax.sort((lab, idx), num_keys=1)
+    xyz_s = xyz[order]
+    w = (lab_s < k).astype(jnp.float32)
+    is_start = boundary_flags(lab_s)
+    _, nxt = segment_spans(is_start)
+
+    # per-cluster end rows (the last member of each label)
+    ar = jnp.arange(k, dtype=jnp.int32)
+    ends = jnp.searchsorted(lab_s, ar, side="right").astype(jnp.int32) - 1
+    lefts = jnp.searchsorted(lab_s, ar, side="left").astype(jnp.int32)
+    alive = ends >= lefts
+    ce = jnp.clip(ends, 0, n - 1)
+
+    # ---- counts / centroids via segmented-scan sums at end rows
+    sums_row = segment_sum_rows(xyz_s * w[:, None], is_start, nxt)
+    counts_row = segment_sum_rows(w, is_start, nxt)
+    counts = jnp.where(alive, counts_row[ce], 0.0)
+    centroid = jnp.where(
+        alive[:, None], sums_row[ce] / jnp.maximum(counts, 1.0)[:, None], 0.0
+    )
+
+    # ---- truncate for the angle scan (members are at the front)
+    cap = n if points_cap is None else min(points_cap, n)
+    total_members = jnp.sum(w)
+    overflow = jnp.maximum(total_members - cap, 0.0)
+    xs = xyz_s[:cap]
+    vs = (lab_s[:cap] < k)
+    is_start_c = is_start[:cap]
+    ce_c = jnp.clip(ends, 0, cap - 1)
+
+    # ---- tiled angle scan for the min-area XY rectangle
+    xy = xs[:, :2]
+    n_tiles = num_angles // angle_tile
+
+    def angle_body(_, t):
+        a = (t * angle_tile + jnp.arange(angle_tile, dtype=jnp.float32)) * (
+            jnp.pi / 2.0 / num_angles
+        )
+        du = jnp.stack([jnp.cos(a), jnp.sin(a)])  # [2, At]
+        dv = jnp.stack([-jnp.sin(a), jnp.cos(a)])
+        # full f32: reduced-precision dots quantize the projections by
+        # ~0.3 m at corridor scales, inflating fitted extents
+        pu = jnp.dot(xy, du, precision=jax.lax.Precision.HIGHEST)
+        pv = jnp.dot(xy, dv, precision=jax.lax.Precision.HIGHEST)
+        pu_hi = segmented_scan(
+            jnp.maximum, jnp.where(vs[:, None], pu, -big), is_start_c
+        )[ce_c]
+        pu_lo = segmented_scan(
+            jnp.minimum, jnp.where(vs[:, None], pu, big), is_start_c
+        )[ce_c]
+        pv_hi = segmented_scan(
+            jnp.maximum, jnp.where(vs[:, None], pv, -big), is_start_c
+        )[ce_c]
+        pv_lo = segmented_scan(
+            jnp.minimum, jnp.where(vs[:, None], pv, big), is_start_c
+        )[ce_c]
+        return None, (pu_hi - pu_lo, pv_hi - pv_lo, pu_hi + pu_lo, pv_hi + pv_lo)
+
+    _, (eu_t, ev_t, su_t, sv_t) = lax.scan(
+        angle_body, None, jnp.arange(n_tiles)
+    )  # each [T, K, At]
+
+    def flat(x):  # [T, K, At] -> [K, A]
+        return jnp.moveaxis(x, 0, 1).reshape(k, num_angles)
+
+    eu, ev, su, sv = flat(eu_t), flat(ev_t), flat(su_t), flat(sv_t)
     area = eu * ev
-    best = jnp.argmin(area, axis=1)  # [K]
-    ar = jnp.arange(k)
-    eu_b, ev_b = eu[ar, best], ev[ar, best]
-    cu = (pu_hi[ar, best] + pu_lo[ar, best]) * 0.5
-    cv = (pv_hi[ar, best] + pv_lo[ar, best]) * 0.5
-    theta = a[best]
-    u_vec = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)  # [K,2]
+    best = jnp.argmin(area, axis=1)
+    eu_b = eu[ar, best]
+    ev_b = ev[ar, best]
+    cu = su[ar, best] * 0.5
+    cv = sv[ar, best] * 0.5
+    theta = best.astype(jnp.float32) * (jnp.pi / 2.0 / num_angles)
+    u_vec = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
     v_vec = jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=1)
     center_xy = cu[:, None] * u_vec + cv[:, None] * v_vec
 
-    # --- z extent
-    z = xyz[:, 2]
-    z_hi = jax.ops.segment_max(jnp.where(valid, z, -big), seg, num_segments=k + 1)[:k]
-    z_lo = -jax.ops.segment_max(jnp.where(valid, -z, -big), seg, num_segments=k + 1)[:k]
+    # ---- z extent (same segmented machinery, single column)
+    z = xs[:, 2]
+    z_hi = segmented_scan(jnp.maximum, jnp.where(vs, z, -big), is_start_c)[ce_c]
+    z_lo = segmented_scan(jnp.minimum, jnp.where(vs, z, big), is_start_c)[ce_c]
     ez = z_hi - z_lo
     center = jnp.concatenate([center_xy, ((z_hi + z_lo) * 0.5)[:, None]], axis=1)
 
-    # --- canonical horizontal axes: x-axis = longer horizontal extent
+    # ---- canonical horizontal axes: x-axis = longer horizontal extent
     # (the variant the reference converged on for the north angle:
     # /root/reference/test/pipei.py:300-336 projects onto the longest
     # horizontal axis).
@@ -98,13 +176,12 @@ def cluster_obb_stats(xyz, labels, mask, *, max_clusters: int = 128, num_angles:
     return dict(
         count=counts,
         alive=alive,
-        centroid=jnp.where(alive[:, None], centroid, zero3),
+        centroid=centroid,
         center=jnp.where(alive[:, None], center, zero3),
-        extent=jnp.where(
-            alive[:, None], jnp.stack([ex, ey, ez], axis=1), zero3
-        ),
+        extent=jnp.where(alive[:, None], jnp.stack([ex, ey, ez], axis=1), zero3),
         angle=jnp.where(alive, theta + swap * (jnp.pi / 2.0), 0.0),
         north_angle=jnp.where(alive, north, 0.0),
+        overflow=overflow,
     )
 
 

@@ -28,12 +28,22 @@ def voxel_downsample(xyz, mask, voxel_size, *, expand: int = 1):
     """Global voxel-grid centroid downsample.
 
     xyz: f32[N,3] (centered coordinates), mask: bool[N], voxel_size: scalar.
-    Returns (out_xyz f32[N,3], out_mask bool[N]): per-voxel centroids packed
-    at the front... actually packed in voxel-key sorted order with padding
-    marked invalid.  `expand` is unused here (kept for API symmetry with
-    the chunked variant).
+    Returns (out_xyz f32[N,3], out_mask bool[N]): per-voxel centroids in
+    voxel-key sorted order, one valid row per voxel (at each voxel's
+    first point position), the rest masked out.
+
+    Scatter-free: sort by the 3 integer voxel keys, then per-voxel sums
+    are cumulative-sum differences at segment boundaries
+    (ops/segments.py) — TPU scatters would serialize per point.
+    `expand` is unused (API symmetry with the chunked variant).
     """
     del expand
+    from pointcloudhookup_tpu.ops.segments import (
+        boundary_flags,
+        segment_spans,
+        segment_sum_rows,
+    )
+
     n = xyz.shape[0]
     big = jnp.float32(3.0e38)
     min_bound = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
@@ -45,22 +55,15 @@ def voxel_downsample(xyz, mask, voxel_size, *, expand: int = 1):
         (ijk[:, 0], ijk[:, 1], ijk[:, 2], idx), num_keys=3
     )
     sorted_xyz = xyz[order]
-    sorted_valid = mask[order]
+    w = mask[order].astype(jnp.float32)
 
-    new_seg = (
-        (kx != jnp.roll(kx, 1))
-        | (ky != jnp.roll(ky, 1))
-        | (kz != jnp.roll(kz, 1))
-    )
-    new_seg = new_seg.at[0].set(True)
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-
-    w = sorted_valid.astype(jnp.float32)
-    sums = jax.ops.segment_sum(sorted_xyz * w[:, None], seg_id, num_segments=n)
-    counts = jax.ops.segment_sum(w, seg_id, num_segments=n)
+    is_start = boundary_flags(kx, ky, kz)
+    start, nxt = segment_spans(is_start)
+    sums = segment_sum_rows(sorted_xyz * w[:, None], is_start, nxt)
+    counts = segment_sum_rows(w, is_start, nxt)
     centroids = sums / jnp.maximum(counts, 1.0)[:, None]
-    out_mask = counts > 0.0
-    return centroids, out_mask
+    out_mask = is_start & (counts > 0.0) & (kx != _SENTINEL)
+    return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size",))

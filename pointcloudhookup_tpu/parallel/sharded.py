@@ -1,0 +1,171 @@
+"""Multi-device (mesh/ICI) extraction.
+
+The reference is single-process; its "parallelism" is chunked loops on
+one CPU pool (SURVEY.md section 2.3).  The TPU-native scale-out design
+(BASELINE config 5: 50M+ point corridors on a v5e slice) shards corridor
+points over a 1-D device mesh ("tiles" axis = spatial/data parallelism)
+and keeps every collective on ICI:
+
+  * global ground percentile: per-shard histograms + `psum` (one
+    all-reduce of a 4096-bin vector), identical result on every shard —
+    the distributed equivalent of np.percentile over the whole corridor;
+  * clustering + OBB statistics run shard-locally (zero communication);
+  * per-shard cluster summaries are `all_gather`ed (K x stats, tiny) and
+    every shard deterministically merges fragments / filters / dedups the
+    global tower list (replicated compute instead of a gather-to-host).
+
+Fragment merging joins clusters whose centroids fall within
+`merge_radius` (the cross-chunk union-find fix from
+/root/reference/test/tttt.py:104-174); the surviving fragment is the one
+with the most points, with counts accumulated.  Exact cross-tile
+clusters via halo exchange are a planned refinement.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pointcloudhookup_tpu.config import ExtractParams
+from pointcloudhookup_tpu.models.towers import filter_and_dedup
+from pointcloudhookup_tpu.ops.cluster import dbscan
+from pointcloudhookup_tpu.ops.obb import cluster_obb_stats
+from pointcloudhookup_tpu.ops.percentile import (
+    histogram_counts,
+    percentile_from_histogram,
+)
+
+AXIS = "tiles"
+
+
+def tile_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over the first n devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def _global_ground_keep(xyz, mask, params, num_bins=4096):
+    """Shard-local ground filter against the GLOBAL height percentile."""
+    gp = params.ground
+    z = xyz[:, 2]
+    big = jnp.float32(3.0e38)
+    lo_local = jnp.min(jnp.where(mask, z, big))
+    hi_local = jnp.max(jnp.where(mask, z, -big))
+    lo = lax.pmin(lo_local, AXIS)
+    hi = lax.pmax(hi_local, AXIS)
+    counts = histogram_counts(z, mask, lo, hi, num_bins)
+    counts = lax.psum(counts, AXIS)
+    base = percentile_from_histogram(counts, lo, hi, gp.percentile)
+    keep = mask & (z > base + gp.offset)
+    n_keep = lax.psum(jnp.sum(keep.astype(jnp.int32)), AXIS)
+    keep = lax.cond(
+        n_keep < gp.min_points_after,
+        lambda: mask & (z > base + gp.retry_offset),
+        lambda: keep,
+    )
+    return keep, base
+
+
+def _merge_fragments(stats, merge_radius):
+    """Deterministic fragment merge over the gathered [D*K] summaries:
+    union groups by centroid distance, keep the largest-count fragment
+    as the group representative with the group's total count."""
+    cent = stats["centroid"]
+    counts = stats["count"]
+    alive = stats["alive"]
+    k = cent.shape[0]
+    d2 = jnp.sum((cent[:, None, :] - cent[None, :, :]) ** 2, axis=-1)
+    adj = (
+        (d2 <= jnp.square(jnp.float32(merge_radius)))
+        & alive[:, None]
+        & alive[None, :]
+    )
+    rep = jnp.where(alive, jnp.arange(k, dtype=jnp.int32), jnp.int32(k))
+
+    def step(state):
+        r, _, it = state
+        nm = jnp.min(jnp.where(adj, r[None, :], k), axis=1)
+        new = jnp.where(alive, jnp.minimum(r, nm), r)
+        new = jnp.where(alive, jnp.minimum(new, new[jnp.clip(new, 0, k - 1)]), new)
+        return new, jnp.any(new != r), it + 1
+
+    rep, _, _ = lax.while_loop(
+        lambda s: s[1] & (s[2] < 16), step, (rep, jnp.bool_(True), jnp.int32(0))
+    )
+    # group count sums; representative = fragment with max count in group
+    grp = jnp.where(alive, rep, k)
+    total = jax.ops.segment_sum(counts, grp, num_segments=k + 1)[:k]
+    # "is this fragment the argmax-count member of its group?"
+    order = counts - jnp.arange(k, dtype=jnp.float32) * 1e-7  # tie-break by index
+    grp_max = jax.ops.segment_max(
+        jnp.where(alive, order, -jnp.inf), grp, num_segments=k + 1
+    )[:k]
+    is_rep = alive & (order >= grp_max[jnp.clip(rep, 0, k - 1)])
+    merged = dict(stats)
+    merged["count"] = jnp.where(is_rep, total[jnp.clip(rep, 0, k - 1)], 0.0)
+    merged["alive"] = is_rep
+    return merged
+
+
+def make_sharded_extract(
+    mesh: Mesh,
+    params: ExtractParams = ExtractParams(),
+    merge_radius: float = 6.0,
+):
+    """Build the jitted multi-chip extraction step.
+
+    Input xyz f32[D*N, 3] / mask bool[D*N] sharded over AXIS; returns
+    (per-shard labels i32[D*N] sharded, replicated global tower stats
+    dict [D*K] + accepted mask)."""
+    n_dev = mesh.devices.size
+
+    def step(xyz, mask):
+        keep, base = _global_ground_keep(xyz, mask, params)
+        labels, _core = dbscan(xyz, keep, params.cluster.eps, params.cluster.min_points)
+        stats = cluster_obb_stats(
+            xyz,
+            labels,
+            keep,
+            max_clusters=params.max_clusters,
+            num_angles=params.obb_angles,
+        )
+        # gather per-shard summaries -> [D*K] replicated on every shard
+        gathered = {
+            key: lax.all_gather(val, AXIS).reshape((-1,) + val.shape[1:])
+            for key, val in stats.items()
+        }
+        merged = _merge_fragments(gathered, merge_radius)
+        accepted = filter_and_dedup(merged, params.filters)
+        merged["accepted"] = accepted
+        merged["base_height"] = base
+        return labels, merged
+
+    shardmapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(
+            P(AXIS),
+            dict(
+                count=P(),
+                alive=P(),
+                centroid=P(),
+                center=P(),
+                extent=P(),
+                angle=P(),
+                north_angle=P(),
+                overflow=P(),
+                accepted=P(),
+                base_height=P(),
+            ),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(shardmapped), NamedSharding(mesh, P(AXIS))

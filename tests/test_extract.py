@@ -25,7 +25,7 @@ def _small_params(**over):
 
 def test_extract_step_finds_towers(corridor):
     pts, centers = corridor
-    batch = PointBatch.from_numpy(pts, capacity=32768)
+    batch = PointBatch.from_numpy(pts, capacity=8192)
     stats = extract_step(batch.xyz, batch.mask, _small_params())
     towers = towers_from_stats(
         {k: np.asarray(v) for k, v in stats.items()}, batch.origin
@@ -44,10 +44,10 @@ def test_extract_dedup_suppresses_close_towers(rng, corridor):
     # (surface gap 8 m > eps 5 m) but within duplicate_threshold 30 m,
     # so dedup must drop one of the pair.
     pts, centers = corridor
-    twin = pts[-1500:].copy()
+    twin = pts[-400:].copy()  # the last tower's points
     twin[:, 0] += 20.0
     pts2 = np.vstack([pts, twin])
-    batch = PointBatch.from_numpy(pts2, capacity=32768)
+    batch = PointBatch.from_numpy(pts2, capacity=8192)
     stats = extract_step(batch.xyz, batch.mask, _small_params())
     accepted = int(np.asarray(stats["accepted"]).sum())
     assert accepted == len(centers)
@@ -55,7 +55,7 @@ def test_extract_dedup_suppresses_close_towers(rng, corridor):
 
 def test_extract_ground_points_not_clustered(corridor):
     pts, _ = corridor
-    batch = PointBatch.from_numpy(pts, capacity=32768)
+    batch = PointBatch.from_numpy(pts, capacity=8192)
     stats = extract_step(batch.xyz, batch.mask, _small_params())
     keep = np.asarray(stats["ground_keep"])
     mask = np.asarray(batch.mask)

@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudhookup_tpu.config import (
+    ClusterParams,
+    ExtractParams,
+    GroundParams,
+)
+from pointcloudhookup_tpu.parallel.sharded import make_sharded_extract, tile_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 (virtual) devices"
+)
+
+
+def _params():
+    return ExtractParams(
+        ground=GroundParams(min_points_after=64),
+        cluster=ClusterParams(eps=5.0, min_points=16),
+        max_clusters=16,
+        obb_angles=32,
+    )
+
+
+def _make_inputs(rng, n_dev, per_shard=1024):
+    """Corridor where each shard holds one spatial tile with one tower."""
+    from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
+
+    total = per_shard * n_dev
+    shard_pts = []
+    centers = []
+    for d in range(n_dev):
+        pts, c = synthetic_corridor(
+            rng,
+            n_ground=per_shard - 300,
+            n_veg=0,
+            towers=((0.0, 0.0),),
+            pts_per_tower=280,
+            extent=120.0,
+            origin=(d * 300.0, 0.0, 0.0),
+        )
+        # clamp to shard capacity
+        pts = pts[:per_shard]
+        shard_pts.append(pts)
+        centers.append(c[0])
+    xyz = np.zeros((total, 3), np.float32)
+    mask = np.zeros(total, bool)
+    for d, pts in enumerate(shard_pts):
+        xyz[d * per_shard : d * per_shard + len(pts)] = pts
+        mask[d * per_shard : d * per_shard + len(pts)] = True
+    return xyz, mask, np.array(centers)
+
+
+def test_sharded_extract_runs_and_finds_towers(rng):
+    n_dev = 4
+    mesh = tile_mesh(n_dev)
+    step, in_sharding = make_sharded_extract(mesh, _params())
+    xyz, mask, centers = _make_inputs(rng, n_dev)
+    xa = jax.device_put(jnp.asarray(xyz), in_sharding)
+    ma = jax.device_put(jnp.asarray(mask), in_sharding)
+    labels, merged = step(xa, ma)
+    accepted = np.asarray(merged["accepted"])
+    got_centers = np.asarray(merged["center"])[accepted]
+    assert accepted.sum() == len(centers)
+    got = np.array(sorted(got_centers[:, 0].tolist()))
+    want = np.array(sorted(centers[:, 0].tolist()))
+    np.testing.assert_allclose(got, want, atol=2.5)
+
+
+def test_sharded_merge_unifies_boundary_tower(rng):
+    """A tower duplicated on two neighboring shards (as if split by a
+    tile boundary) must be merged into ONE accepted tower."""
+    n_dev = 4
+    per_shard = 1024
+    mesh = tile_mesh(n_dev)
+    step, in_sharding = make_sharded_extract(mesh, _params(), merge_radius=6.0)
+    xyz, mask, centers = _make_inputs(rng, n_dev, per_shard)
+    # copy shard 0's tower points (rows 724:1004 of shard 0 = after its
+    # 724 ground points) over 280 of shard 1's GROUND rows, keeping the
+    # same world position -> two fragments of the same tower exist on
+    # two shards; shard 1's own tower at x=300 is untouched
+    src = slice(724, 1004)
+    dst = slice(per_shard, per_shard + 280)
+    xyz[dst] = xyz[src]
+    mask[dst] = mask[src]
+    xa = jax.device_put(jnp.asarray(xyz), in_sharding)
+    ma = jax.device_put(jnp.asarray(mask), in_sharding)
+    _, merged = step(xa, ma)
+    assert int(np.asarray(merged["accepted"]).sum()) == len(centers)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert "accepted" in out
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,119 @@
+import numpy as np
+
+from pointcloudhookup_tpu.config import (
+    ClusterParams,
+    ExtractParams,
+    GroundParams,
+)
+from pointcloudhookup_tpu.core.streaming import TileStreamer, stream_extract
+from pointcloudhookup_tpu.models.elevation_report import (
+    convert_to_orthometric,
+    write_report,
+)
+from pointcloudhookup_tpu.ops.geo import GeoidGrid
+
+
+def test_tile_streamer_splits_and_prefetches(rng):
+    tiles = [rng.uniform(0, 100, size=(900, 3)), rng.uniform(0, 100, size=(300, 3))]
+    out = list(TileStreamer(tiles, capacity=512, origin=np.zeros(3)))
+    # 900 -> 2 chunks (512 + 388), 300 -> 1 chunk
+    assert [m["n"] for _, _, m in out] == [512, 388, 300]
+    xyz0, mask0, meta0 = out[0]
+    assert xyz0.shape == (512, 3) and bool(mask0[511]) is True
+    _, mask1, _ = out[1]
+    assert int(np.asarray(mask1).sum()) == 388
+    # data round-trips
+    np.testing.assert_allclose(
+        np.asarray(xyz0, np.float64), tiles[0][:512], atol=1e-3
+    )
+
+
+def test_tile_streamer_error_propagates(tmp_path):
+    import pytest
+
+    with pytest.raises(Exception):
+        list(TileStreamer([str(tmp_path / "missing.las")], capacity=128))
+
+
+def test_stream_extract_finds_towers_per_tile(rng):
+    from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
+
+    tiles = []
+    for d in range(2):
+        pts, _ = synthetic_corridor(
+            rng, n_ground=1500, n_veg=0, towers=((0.0, 0.0),),
+            pts_per_tower=400, extent=100.0, origin=(d * 500.0, 0.0, 0.0),
+        )
+        tiles.append(pts)
+    params = ExtractParams(
+        ground=GroundParams(min_points_after=64),
+        cluster=ClusterParams(eps=5.0, min_points=30),
+        max_clusters=16,
+        obb_angles=32,
+    )
+    results = stream_extract(tiles, capacity=2048, params=params)
+    assert len(results) == 2
+    for stats, meta in results:
+        assert stats["accepted"].sum() == 1
+
+
+def test_elevation_report(tmp_path):
+    lat = np.linspace(20, 40, 21)
+    lon = np.linspace(100, 120, 21)
+    vals = np.full((21, 21), 23.5, np.float32)
+    grid = GeoidGrid(20.0, 100.0, 1.0, 1.0, vals)
+    towers = [
+        dict(id="P41", lat=28.1, lon=113.2, h=100.0),
+        dict(id="P42", lat=28.2, lon=113.3, h=120.0),
+    ]
+    rows = convert_to_orthometric(towers, geoid=grid)
+    assert abs(rows[0].h_orthometric - 76.5) < 1e-5
+    assert rows[0].method == "geoid_grid"
+    # empirical fallback
+    rows_f = convert_to_orthometric(towers, geoid=None, empirical_n=28.0)
+    assert abs(rows_f[0].h_orthometric - 72.0) < 1e-9
+    report = write_report(
+        rows,
+        csv_path=str(tmp_path / "r.csv"),
+        text_path=str(tmp_path / "r.txt"),
+        chart_path=str(tmp_path / "r.png"),
+    )
+    assert "P41" in report and "N statistics" in report
+    assert (tmp_path / "r.csv").exists()
+    assert (tmp_path / "r.txt").exists()
+    assert (tmp_path / "r.png").exists()
+
+
+def test_report_warns_when_grid_ineffective():
+    rows = convert_to_orthometric(
+        [dict(id="X", lat=5.0, lon=5.0, h=50.0)],
+        geoid=GeoidGrid(0.0, 0.0, 1.0, 1.0, np.zeros((10, 10), np.float32)),
+    )
+    report = write_report(rows)
+    assert "not in effect" in report
+
+
+def test_reproject_las_roundtrip(tmp_path, rng):
+    from pointcloudhookup_tpu.io.las import make_las, read_las, write_las
+    from pointcloudhookup_tpu.models.pipeline import reproject_las
+    from pointcloudhookup_tpu.ops.geo import tm_forward, tm_inverse
+
+    e0, n0 = tm_forward(113.5, 28.2, xp=np)
+    pts = np.column_stack(
+        [
+            float(e0) + rng.uniform(-1500, 1500, 500),
+            float(n0) + rng.uniform(-1500, 1500, 500),
+            rng.uniform(50, 100, 500),
+        ]
+    )
+    src = str(tmp_path / "in.las")
+    dst = str(tmp_path / "out.las")
+    write_las(make_las(pts, scales=[0.001, 0.001, 0.001]), src)
+    n = reproject_las(src, dst, batch=256)
+    assert n == 500
+    out = read_las(dst).xyz()
+    lon_ref, lat_ref = tm_inverse(pts[:, 0], pts[:, 1], xp=np)
+    # 1e-7-degree storage quantization ~ 1 cm
+    np.testing.assert_allclose(out[:, 0], lon_ref, atol=2e-7)
+    np.testing.assert_allclose(out[:, 1], lat_ref, atol=2e-7)
+    np.testing.assert_allclose(out[:, 2], pts[:, 2], atol=1e-3)
