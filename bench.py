@@ -62,9 +62,9 @@ def main():
 
     params = ExtractParams(cluster=ClusterParams())
 
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=())
+    # Stages are jitted separately: the monolithic 4M-point graph
+    # overruns the remote compile helper's memory cap (SIGKILL).  The
+    # stage boundaries cost one dispatch each; buffers stay on device.
     def frontend(xyz, mask):
         ds_xyz, ds_mask = voxel_downsample(xyz, mask, 0.1)
         keep, base = ground_filter(ds_xyz, ds_mask, params.ground)
@@ -74,7 +74,7 @@ def main():
         )
         stats = cluster_obb_stats(
             ds_xyz, labels, keep, max_clusters=params.max_clusters,
-            num_angles=params.obb_angles,
+            num_angles=params.obb_angles, points_cap=1 << 19,
         )
         accepted = filter_and_dedup(stats, params.filters)
         return labels, stats, accepted, base

@@ -135,6 +135,96 @@ def cmd_match(args, corrected: bool = False):
         print("saved" if ok else "save FAILED")
 
 
+def cmd_reproject(args):
+    from pointcloudhookup_tpu.models.pipeline import reproject_las
+
+    n = reproject_las(args.input, args.output, log_callback=print)
+    print(f"{n} points reprojected")
+
+
+def cmd_viz_export(args):
+    from pointcloudhookup_tpu.models.pipeline import extract
+    from pointcloudhookup_tpu.viz.boxes import (
+        export_geometries_json,
+        tower_display_geometries,
+    )
+
+    towers = extract(args.las, log_callback=print, eps=args.eps, min_points=args.min_points)
+    geoms = tower_display_geometries(
+        towers,
+        method="kuangxuan" if args.preset.startswith("kuangxuan") else "symmetric",
+        preset=args.preset,
+    )
+    export_geometries_json(geoms, args.output)
+    print(f"{len(geoms)} tower boxes -> {args.output}")
+
+
+def cmd_elevation_report(args):
+    from pointcloudhookup_tpu.models.elevation_report import (
+        convert_to_orthometric,
+        write_report,
+    )
+    from pointcloudhookup_tpu.models.pipeline import import_gim
+
+    records, _, _ = import_gim(args.gim, args.output_folder)
+    geoid = None
+    if args.geoid:
+        from pointcloudhookup_tpu.io.geoid import load_geoid
+
+        geoid = load_geoid(args.geoid)
+    towers = [
+        dict(id=(r.properties or {}).get("杆塔编号", r.name), lat=r.lat, lon=r.lng, h=r.h)
+        for r in records
+    ]
+    rows = convert_to_orthometric(towers, geoid=geoid, empirical_n=args.empirical_n)
+    report = write_report(
+        rows, csv_path=args.csv, text_path=args.text, chart_path=args.chart
+    )
+    print(report)
+
+
+def cmd_register(args):
+    """Batched ICP: align each extracted tower to its matched GIM tower
+    footprint (the north-star upgrade over greedy matching)."""
+    import numpy as np
+
+    from pointcloudhookup_tpu.io.las import read_las
+    from pointcloudhookup_tpu.models import pipeline
+    from pointcloudhookup_tpu.ops.registration import register_tower_pairs
+
+    records, folder, _ = pipeline.import_gim(args.gim, args.output_folder)
+    towers = pipeline.extract(args.las, log_callback=print, eps=args.eps, min_points=args.min_points)
+    res = pipeline.match(records, towers, region_n_value=args.region_n_value)
+    if not res.pairs:
+        print("no matched pairs to register")
+        return
+    # source: tower points from the LAS; target: synthetic pylon frame at
+    # the GIM position (no geometry in GIM text model -> use the matched
+    # tower's own box frame displaced to the GIM location)
+    las = read_las(args.las)
+    pts = las.xyz()
+    from pointcloudhookup_tpu.models.pipeline import extract_from_points
+
+    _, stats, origin = extract_from_points(pts)
+    labels = stats["labels"][: len(pts)]
+    pc_clouds, gim_clouds = [], []
+    from pointcloudhookup_tpu.ops.geo import wgs84_to_cgcs2000
+
+    for gi, pi in res.pairs:
+        t = towers[pi]
+        cloud = pts[labels == t.label] - t.center
+        e, n = wgs84_to_cgcs2000(records[gi].lng, records[gi].lat, xp=np)
+        gim_center = np.array([float(e), float(n), t.center[2]])
+        pc_clouds.append((pts[labels == t.label] - gim_center).astype(np.float32))
+        gim_clouds.append(cloud.astype(np.float32))
+    out = register_tower_pairs(pc_clouds, gim_clouds, iters=args.iters)
+    for (gi, pi), r in zip(res.pairs, out):
+        print(
+            f"GIM[{gi}] <- PC[{pi}]: t=({r['t'][0]:+.2f},{r['t'][1]:+.2f},{r['t'][2]:+.2f}) "
+            f"rmse={r['rmse']:.3f} inliers={r['inlier_frac']:.0%}"
+        )
+
+
 def cmd_run_all(args):
     """import pc -> compress -> extract -> import gim -> correct -> save."""
     import os
@@ -204,6 +294,37 @@ def main(argv=None):
             sp.add_argument("--save", help="write the corrected .gim here")
         sp.set_defaults(fn=lambda a, c=corrected: cmd_match(a, c))
 
+    sp = sub.add_parser("reproject", help="EPSG:4547 -> WGS84 whole-LAS transform")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_reproject)
+
+    sp = sub.add_parser("viz-export", help="export enlarged tower wireframes as JSON")
+    sp.add_argument("las")
+    sp.add_argument("output")
+    add_extract_args(sp)
+    sp.add_argument("--preset", default="kuangxuan_original")
+    sp.set_defaults(fn=cmd_viz_export)
+
+    sp = sub.add_parser("elevation-report", help="ellipsoid->orthometric conversion report for GIM towers")
+    sp.add_argument("gim")
+    sp.add_argument("--geoid", help=".gtx or .npz geoid grid")
+    sp.add_argument("--empirical-n", type=float, default=28.0)
+    sp.add_argument("--csv")
+    sp.add_argument("--text")
+    sp.add_argument("--chart")
+    sp.add_argument("--output-folder", default="output")
+    sp.set_defaults(fn=cmd_elevation_report)
+
+    sp = sub.add_parser("register", help="batched ICP alignment of matched towers")
+    sp.add_argument("gim")
+    sp.add_argument("las")
+    add_extract_args(sp)
+    sp.add_argument("--region-n-value", type=float, default=25.0)
+    sp.add_argument("--iters", type=int, default=20)
+    sp.add_argument("--output-folder", default="output")
+    sp.set_defaults(fn=cmd_register)
+
     sp = sub.add_parser("run-all", help="full workflow: compress -> extract -> correct -> save")
     sp.add_argument("las")
     sp.add_argument("gim")
@@ -216,7 +337,12 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_run_all)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except FileNotFoundError as e:
+        p.exit(2, f"error: file not found: {e.filename or e}\n")
+    except ValueError as e:
+        p.exit(2, f"error: {e}\n")
 
 
 if __name__ == "__main__":

@@ -48,6 +48,13 @@ class TileStreamer:
             return np.asarray(self.decode(source), np.float64)
         if isinstance(source, np.ndarray):
             return np.asarray(source, np.float64)
+        # native C++ decode when available (no Python object overhead on
+        # the streaming critical path), else the pure-Python reader
+        from pointcloudhookup_tpu.native import las_read_xyz
+
+        xyz = las_read_xyz(str(source))
+        if xyz is not None:
+            return xyz
         from pointcloudhookup_tpu.io.las import read_las
 
         return read_las(source).xyz()

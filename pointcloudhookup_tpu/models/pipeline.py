@@ -312,15 +312,21 @@ class MatchResult:
     corrected_gim: bool = False  # True when produced by correct()
 
     def to_csv(self, path: str) -> None:
+        """Side-by-side tables; pairing is explicit via 配对 columns (the
+        reference's Qt panel conveyed it with row highlight colors)."""
         import pandas as pd
 
+        pair_of_gim = {gi: pi for gi, pi in self.pairs}
+        pair_of_pc = {pi: gi for gi, pi in self.pairs}
         left = pd.DataFrame(
             self.gim_rows, columns=["杆塔编号", "纬度", "经度", "高程", "北方向偏角"]
         )
+        left.insert(0, "配对PC行", [pair_of_gim.get(i, "") for i in range(len(self.gim_rows))])
         right = pd.DataFrame(
             self.pc_rows,
             columns=["杆塔编号(PC)", "纬度(WGS84)", "经度(WGS84)", "高程(正高)", "北方向偏角(PC)"],
         )
+        right.insert(0, "配对GIM行", [pair_of_pc.get(i, "") for i in range(len(self.pc_rows))])
         pd.concat([left, right], axis=1).to_csv(path, index=False)
 
 

@@ -35,7 +35,9 @@ _SENTINEL = jnp.int32(2**30)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("min_points", "max_cells", "tile", "max_iters", "min_cell_points"),
+    static_argnames=(
+        "min_points", "max_cells", "tile", "max_iters", "min_cell_points", "use_pallas"
+    ),
 )
 def grid_dbscan(
     xyz,
@@ -47,6 +49,7 @@ def grid_dbscan(
     tile: int = 1024,
     max_iters: int = 64,
     min_cell_points: int = 1,
+    use_pallas: bool | None = None,
 ):
     """Cell-graph DBSCAN.
 
@@ -109,37 +112,57 @@ def grid_dbscan(
     # point -> packed cell map back in original order (unsort via sort)
     _, cell_of_point = lax.sort((order, cell_sorted), num_keys=1)
 
-    # ---- tiled cell-graph passes (M x tile at a time)
+    # ---- cell-graph passes: fused Pallas kernel on TPU (the whole cell
+    # table stays VMEM-resident), tiled lax fallback elsewhere
     eps2 = eps * eps
-    sq = jnp.sum(centers * centers, axis=1)
-    nt = m // tile
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
-    def get_tile(arr, j):
-        return lax.dynamic_slice_in_dim(arr, j * tile, tile, axis=0)
+    if use_pallas:
+        from pointcloudhookup_tpu.ops.pallas.neighbor import neighbor_reduce
 
-    def tile_d2(j):
-        cj = get_tile(centers, j)
-        sqj = get_tile(sq, j)
-        return sq[:, None] + sqj[None, :] - 2.0 * jnp.dot(
-            centers, cj.T, precision=jax.lax.Precision.HIGHEST
-        )
+        def _reduce(labels, weights, allowed):
+            return neighbor_reduce(
+                centers, labels, weights, allowed, eps2, sentinel=m
+            )
 
-    # neighborhood population: sum of counts of cells within eps
-    def pop_body(acc, j):
-        nb = (tile_d2(j) <= eps2) & get_tile(cell_alive, j)[None, :]
-        return acc + jnp.sum(nb * get_tile(counts, j)[None, :], axis=1), None
+        pop, _ = _reduce(jnp.zeros(m, jnp.int32), counts, cell_alive)
+        core_cell = cell_alive & (pop >= min_points)
 
-    pop, _ = lax.scan(pop_body, jnp.zeros(m, jnp.float32), jnp.arange(nt))
-    core_cell = cell_alive & (pop >= min_points)
+        def neighbor_min(labels, allowed):
+            _, lmin = _reduce(labels, jnp.zeros(m, jnp.float32), allowed)
+            return lmin
 
-    def neighbor_min(labels, allowed):
-        def body(acc, j):
-            nb = (tile_d2(j) <= eps2) & get_tile(allowed, j)[None, :]
-            lmin = jnp.min(jnp.where(nb, get_tile(labels, j)[None, :], m), axis=1)
-            return jnp.minimum(acc, lmin), None
+    else:
+        sq = jnp.sum(centers * centers, axis=1)
+        nt = m // tile
 
-        res, _ = lax.scan(body, jnp.full(m, m, jnp.int32), jnp.arange(nt))
-        return res
+        def get_tile(arr, j):
+            return lax.dynamic_slice_in_dim(arr, j * tile, tile, axis=0)
+
+        def tile_d2(j):
+            cj = get_tile(centers, j)
+            sqj = get_tile(sq, j)
+            return sq[:, None] + sqj[None, :] - 2.0 * jnp.dot(
+                centers, cj.T, precision=jax.lax.Precision.HIGHEST
+            )
+
+        # neighborhood population: sum of counts of cells within eps
+        def pop_body(acc, j):
+            nb = (tile_d2(j) <= eps2) & get_tile(cell_alive, j)[None, :]
+            return acc + jnp.sum(nb * get_tile(counts, j)[None, :], axis=1), None
+
+        pop, _ = lax.scan(pop_body, jnp.zeros(m, jnp.float32), jnp.arange(nt))
+        core_cell = cell_alive & (pop >= min_points)
+
+        def neighbor_min(labels, allowed):
+            def body(acc, j):
+                nb = (tile_d2(j) <= eps2) & get_tile(allowed, j)[None, :]
+                lmin = jnp.min(jnp.where(nb, get_tile(labels, j)[None, :], m), axis=1)
+                return jnp.minimum(acc, lmin), None
+
+            res, _ = lax.scan(body, jnp.full(m, m, jnp.int32), jnp.arange(nt))
+            return res
 
     labels0 = jnp.where(core_cell, jnp.arange(m, dtype=jnp.int32), m)
 

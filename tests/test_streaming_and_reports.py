@@ -117,3 +117,35 @@ def test_reproject_las_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(out[:, 0], lon_ref, atol=2e-7)
     np.testing.assert_allclose(out[:, 1], lat_ref, atol=2e-7)
     np.testing.assert_allclose(out[:, 2], pts[:, 2], atol=1e-3)
+
+
+def test_native_las_codec_matches_python(tmp_path, rng):
+    from pointcloudhookup_tpu.io.las import make_las, read_las, write_las
+    from pointcloudhookup_tpu.native import (
+        get_lib,
+        las_probe,
+        las_read_xyz,
+        las_read_xyz_range,
+    )
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    xyz = np.column_stack(
+        [
+            rng.uniform(500000, 501000, 777),
+            rng.uniform(3100000, 3101000, 777),
+            rng.uniform(0, 100, 777),
+        ]
+    )
+    p = str(tmp_path / "n.las")
+    write_las(make_las(xyz, scales=[0.001, 0.001, 0.001], point_format=1), p)
+    n, scales, offsets, fmt = las_probe(p)
+    assert n == 777 and fmt == 1
+    got = las_read_xyz(p)
+    np.testing.assert_allclose(got, read_las(p).xyz(), atol=0)
+    part = las_read_xyz_range(p, 100, 50)
+    np.testing.assert_allclose(part, got[100:150], atol=0)
+    tail = las_read_xyz_range(p, 770, 100)
+    assert tail.shape == (7, 3)
