@@ -74,8 +74,7 @@ def grid_dbscan(
     from pointcloudhookup_tpu.ops.segments import (
         boundary_flags,
         pack_segments,
-        segment_spans,
-        segment_sum_rows,
+        segmented_scan,
     )
 
     # ---- assign cell keys and sort points by cell
@@ -88,9 +87,13 @@ def grid_dbscan(
     valid_sorted = kx != _SENTINEL
     w = valid_sorted.astype(jnp.float32)
 
-    # ---- per-row segment population (scatter-free boundary reductions)
-    start, nxt = segment_spans(is_start)
-    count_row = segment_sum_rows(w, is_start, nxt)
+    # ---- per-row segment population: reverse segmented scan puts the
+    # total at the start row; a forward max-scan broadcasts it across the
+    # segment (scan+scan beats scan+gather on TPU)
+    totals = segmented_scan(jnp.add, w, is_start, reverse=True)
+    count_row = segmented_scan(
+        jnp.maximum, jnp.where(is_start, totals, 0.0), is_start
+    )
     dense_row = valid_sorted & (count_row >= jnp.float32(min_cell_points))
 
     # packed cell index per sorted row: advances at dense segment starts

@@ -33,12 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pointcloudhookup_tpu.ops.segments import (
-    boundary_flags,
-    segment_spans,
-    segment_sum_rows,
-    segmented_scan,
-)
+from pointcloudhookup_tpu.ops.segments import boundary_flags, segmented_scan
 
 
 @functools.partial(
@@ -73,27 +68,31 @@ def cluster_obb_stats(
     valid = (labels >= 0) & (labels < k) & mask
     lab = jnp.where(valid, labels, k).astype(jnp.int32)
 
-    # ---- sort by label; cluster members land at the front
-    idx = jnp.arange(n, dtype=jnp.int32)
-    lab_s, order = lax.sort((lab, idx), num_keys=1)
-    xyz_s = xyz[order]
+    # ---- sort by label, carrying coordinates as payloads (row gathers
+    # are far more expensive than extra sort operands on TPU); cluster
+    # members land at the front
+    lab_s, sx, sy, sz = lax.sort(
+        (lab, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1
+    )
+    xyz_s = jnp.stack([sx, sy, sz], axis=1)
     w = (lab_s < k).astype(jnp.float32)
     is_start = boundary_flags(lab_s)
-    _, nxt = segment_spans(is_start)
 
-    # per-cluster end rows (the last member of each label)
+    # per-cluster first/last rows
     ar = jnp.arange(k, dtype=jnp.int32)
     ends = jnp.searchsorted(lab_s, ar, side="right").astype(jnp.int32) - 1
     lefts = jnp.searchsorted(lab_s, ar, side="left").astype(jnp.int32)
     alive = ends >= lefts
     ce = jnp.clip(ends, 0, n - 1)
+    cl = jnp.clip(lefts, 0, n - 1)
 
-    # ---- counts / centroids via segmented-scan sums at end rows
-    sums_row = segment_sum_rows(xyz_s * w[:, None], is_start, nxt)
-    counts_row = segment_sum_rows(w, is_start, nxt)
-    counts = jnp.where(alive, counts_row[ce], 0.0)
+    # ---- counts / centroids: reverse segmented scan puts each
+    # cluster's totals on its first row; read K rows (tiny gather)
+    vals = jnp.concatenate([xyz_s * w[:, None], w[:, None]], axis=1)
+    totals = segmented_scan(jnp.add, vals, is_start, reverse=True)
+    counts = jnp.where(alive, totals[cl, 3], 0.0)
     centroid = jnp.where(
-        alive[:, None], sums_row[ce] / jnp.maximum(counts, 1.0)[:, None], 0.0
+        alive[:, None], totals[cl, :3] / jnp.maximum(counts, 1.0)[:, None], 0.0
     )
 
     # ---- truncate for the angle scan (members are at the front)

@@ -4,19 +4,23 @@ The clustering inner loop — "for every element, reduce over all
 elements within eps" — is the hot op of both the exact DBSCAN
 (point level) and the grid DBSCAN (cell level).  The XLA path
 materializes [M, tile] distance blocks in HBM per scan step; this
-kernel keeps everything in VMEM: one row-block of queries stays
-resident while the full element table streams through the MXU
-(d^2 = |x|^2 + |y|^2 - 2 x.y as an [BM,3]x[3,BK] contraction), and the
-threshold + weighted-population + min-label reductions happen in
-registers, so HBM traffic is O(M) instead of O(M^2 / tile).
+kernel keeps the whole element table VMEM-resident (coordinates as
+three 1-D f32 arrays — a [M,3] layout would pad the last dim to 128
+lanes and blow VMEM 42x) and evaluates the threshold + weighted
+population + min-label reductions in registers, so HBM traffic is O(M)
+instead of O(M^2 / tile).
+
+d^2 is computed from coordinate DIFFERENCES (dx^2+dy^2+dz^2), not the
+|x|^2 - 2xy expansion: exact in f32 at corridor coordinate scales and
+needs no MXU (the K=3 contraction never fed it anyway).
 
 Outputs (both in one pass):
   pop[i]  = sum_j  (d2(i,j) <= eps2 & allowed_j) * weight_j
   lmin[i] = min_j  (d2(i,j) <= eps2 & allowed_j) ? label_j : sentinel
 
-Fits VMEM for tables up to ~256k elements (xyz + labels + weights ~
-3 MB at 64k).  Falls back to the lax implementation in
-ops/cluster_grid.py / ops/cluster.py on non-TPU backends.
+Alignment: dynamic slices of 1-D f32 VMEM arrays must be multiples of
+1024 (8 sublanes x 128 lanes), hence the 1024 block size with static
+256-wide sub-tiles bounding the [BM, sub] temporaries to ~1 MB.
 """
 
 from __future__ import annotations
@@ -28,57 +32,53 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_BLOCK = 1024  # minimum aligned dynamic-slice granule for 1-D f32 VMEM
+_SUB = 256  # static sub-tile of the column block (temp = [_BLOCK, _SUB])
 
-def _kernel(eps2_ref, xyz_ref, sq_ref, label_ref, weight_ref, allowed_ref,
-            pop_ref, lmin_ref, *, block_k: int, sentinel: int):
-    m = xyz_ref.shape[0]
+
+def _kernel(eps2_ref, x_ref, y_ref, z_ref, label_ref, weight_ref, allowed_ref,
+            pop_ref, lmin_ref, *, sentinel: int):
+    m = x_ref.shape[0]
     bm = pop_ref.shape[0]
     i = pl.program_id(0)
     eps2 = eps2_ref[0]
 
     row_off = pl.multiple_of(i * bm, bm)
-    rows = xyz_ref[pl.ds(row_off, bm), :]  # [BM, 3]
-    rows_sq = sq_ref[pl.ds(row_off, bm)]  # [BM]
+    rx = x_ref[pl.ds(row_off, bm)]
+    ry = y_ref[pl.ds(row_off, bm)]
+    rz = z_ref[pl.ds(row_off, bm)]
 
     def body(j, carry):
         pop, lmin = carry
-        # multiple_of: Mosaic must statically prove vector-load alignment
-        # for dynamic slices of VMEM-resident arrays
-        off = pl.multiple_of(j * block_k, block_k)
-        cols = xyz_ref[pl.ds(off, block_k), :]  # [BK, 3]
-        cols_sq = sq_ref[pl.ds(off, block_k)]
-        lab = label_ref[pl.ds(off, block_k)]
-        wgt = weight_ref[pl.ds(off, block_k)]
-        alw = allowed_ref[pl.ds(off, block_k)]
-        d2 = (
-            rows_sq[:, None]
-            + cols_sq[None, :]
-            - 2.0
-            * jax.lax.dot_general(
-                rows,
-                cols,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        off = pl.multiple_of(j * _BLOCK, _BLOCK)
+        cx = x_ref[pl.ds(off, _BLOCK)]
+        cy = y_ref[pl.ds(off, _BLOCK)]
+        cz = z_ref[pl.ds(off, _BLOCK)]
+        lab = label_ref[pl.ds(off, _BLOCK)]
+        wgt = weight_ref[pl.ds(off, _BLOCK)]
+        alw = allowed_ref[pl.ds(off, _BLOCK)]
+        # static sub-tiles keep the [bm, _SUB] temporaries small
+        for s in range(_BLOCK // _SUB):
+            sl = slice(s * _SUB, (s + 1) * _SUB)
+            dx = rx[:, None] - cx[sl][None, :]
+            dy = ry[:, None] - cy[sl][None, :]
+            dz = rz[:, None] - cz[sl][None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            nb = (d2 <= eps2) & (alw[sl] > 0)[None, :]
+            pop = pop + jnp.sum(jnp.where(nb, wgt[sl][None, :], 0.0), axis=1)
+            lmin = jnp.minimum(
+                lmin, jnp.min(jnp.where(nb, lab[sl][None, :], sentinel), axis=1)
             )
-        )
-        nb = (d2 <= eps2) & (alw > 0)[None, :]
-        pop = pop + jnp.sum(jnp.where(nb, wgt[None, :], 0.0), axis=1)
-        lmin = jnp.minimum(
-            lmin, jnp.min(jnp.where(nb, lab[None, :], sentinel), axis=1)
-        )
         return pop, lmin
 
     pop0 = jnp.zeros((bm,), jnp.float32)
     lmin0 = jnp.full((bm,), sentinel, jnp.int32)
-    pop, lmin = jax.lax.fori_loop(0, m // block_k, body, (pop0, lmin0))
+    pop, lmin = jax.lax.fori_loop(0, m // _BLOCK, body, (pop0, lmin0))
     pop_ref[:] = pop
     lmin_ref[:] = lmin
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_m", "block_k", "sentinel", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("block_m", "sentinel", "interpret"))
 def neighbor_reduce(
     xyz,
     labels,
@@ -87,30 +87,29 @@ def neighbor_reduce(
     eps2,
     *,
     block_m: int = 1024,
-    block_k: int = 1024,
     sentinel: int | None = None,
     interpret: bool = False,
 ):
     """Fused eps-neighborhood population + min-label reduction.
 
     xyz: f32[M,3]; labels: i32[M]; weights: f32[M]; allowed: bool[M];
-    eps2: scalar.  M must be a multiple of block_m and block_k.
+    eps2: scalar.  M must be a multiple of 1024 (and of block_m).
     Returns (pop f32[M], lmin i32[M]).
     """
     m = xyz.shape[0]
-    if m % block_m or m % block_k:
-        raise ValueError(f"M={m} must be a multiple of block sizes")
+    if m % _BLOCK or m % block_m:
+        raise ValueError(f"M={m} must be a multiple of {_BLOCK}")
     if sentinel is None:
         sentinel = m
-    sq = jnp.sum(xyz * xyz, axis=1)
-    kernel = functools.partial(_kernel, block_k=block_k, sentinel=sentinel)
+    kernel = functools.partial(_kernel, sentinel=sentinel)
     pop, lmin = pl.pallas_call(
         kernel,
         grid=(m // block_m,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps2
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xyz (full table resident)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # |x|^2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # y
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # z
             pl.BlockSpec(memory_space=pltpu.VMEM),  # labels
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # allowed
@@ -126,8 +125,9 @@ def neighbor_reduce(
         interpret=interpret,
     )(
         jnp.asarray([eps2], jnp.float32),
-        xyz,
-        sq,
+        xyz[:, 0],
+        xyz[:, 1],
+        xyz[:, 2],
         labels.astype(jnp.int32),
         weights.astype(jnp.float32),
         allowed.astype(jnp.int32),

@@ -38,30 +38,26 @@ def voxel_downsample(xyz, mask, voxel_size, *, expand: int = 1):
     `expand` is unused (API symmetry with the chunked variant).
     """
     del expand
-    from pointcloudhookup_tpu.ops.segments import (
-        boundary_flags,
-        segment_spans,
-        segment_sum_rows,
-    )
+    from pointcloudhookup_tpu.ops.segments import boundary_flags, segmented_scan
 
-    n = xyz.shape[0]
     big = jnp.float32(3.0e38)
     min_bound = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
     ijk = jnp.floor((xyz - min_bound) / voxel_size).astype(jnp.int32)
     ijk = jnp.where(mask[:, None], ijk, _SENTINEL)
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    kx, ky, kz, order = jax.lax.sort(
-        (ijk[:, 0], ijk[:, 1], ijk[:, 2], idx), num_keys=3
+    # ONE sort carrying the coordinates as payloads — row gathers are far
+    # more expensive than extra sort operands on TPU
+    w_in = mask.astype(jnp.float32)
+    kx, ky, kz, sx, sy, sz, w = jax.lax.sort(
+        (ijk[:, 0], ijk[:, 1], ijk[:, 2], xyz[:, 0], xyz[:, 1], xyz[:, 2], w_in),
+        num_keys=3,
     )
-    sorted_xyz = xyz[order]
-    w = mask[order].astype(jnp.float32)
-
     is_start = boundary_flags(kx, ky, kz)
-    start, nxt = segment_spans(is_start)
-    sums = segment_sum_rows(sorted_xyz * w[:, None], is_start, nxt)
-    counts = segment_sum_rows(w, is_start, nxt)
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    # reverse segmented scan -> each segment's TOTAL lands on its start row
+    vals = jnp.stack([sx * w, sy * w, sz * w, w], axis=1)
+    totals = segmented_scan(jnp.add, vals, is_start, reverse=True)
+    counts = totals[:, 3]
+    centroids = totals[:, :3] / jnp.maximum(counts, 1.0)[:, None]
     out_mask = is_start & (counts > 0.0) & (kx != _SENTINEL)
     return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
 
