@@ -16,9 +16,9 @@ import time
 import numpy as np
 
 TARGET_MPTS = 200.0
-N_POINTS = 4 * 1024 * 1024  # 4M-point tile
+N_POINTS = 2 * 1024 * 1024  # 2M-point tile
 WARMUP = 2
-ITERS = 5
+ITERS = 8
 
 
 def build_workload(n):

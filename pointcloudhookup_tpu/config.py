@@ -50,6 +50,13 @@ class ClusterParams:
     # that; global mode clusters the whole tile at once.
     chunk_size: int = 50_000
     per_chunk: bool = False
+    # clustering backend: "exact" (O(N^2) tiled DBSCAN), "grid"
+    # (cell-graph fast path), or "auto" (grid above auto_grid_threshold)
+    method: str = "auto"
+    auto_grid_threshold: int = 200_000
+    # grid-path knobs
+    max_cells: int = 65536
+    min_cell_points: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

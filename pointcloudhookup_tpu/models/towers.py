@@ -91,14 +91,23 @@ def extract_step(xyz, mask, params: ExtractParams = ExtractParams()):
     """
     keep, base = ground_filter(xyz, mask, params.ground)
     cp = params.cluster
+    n = xyz.shape[0]
     if cp.per_chunk:
         labels, core = dbscan_chunked(
             xyz, keep, cp.eps, cp.min_points, chunk_size=cp.chunk_size
         )
         # chunk-offset labels are sparse; compact them to [0, K) for the
         # fixed-capacity per-cluster reductions
-        n = xyz.shape[0]
         labels = compact_labels(jnp.where(labels >= 0, labels, n), jnp.int32(n))
+    elif cp.method == "grid" or (
+        cp.method == "auto" and n > cp.auto_grid_threshold
+    ):
+        from pointcloudhookup_tpu.ops.cluster_grid import grid_dbscan
+
+        labels, core = grid_dbscan(
+            xyz, keep, cp.eps, cp.min_points,
+            max_cells=cp.max_cells, min_cell_points=cp.min_cell_points,
+        )
     else:
         labels, core = dbscan(xyz, keep, cp.eps, cp.min_points)
     stats = cluster_obb_stats(

@@ -51,51 +51,99 @@ def _pick_tile(n: int, target: int) -> int:
     return 1
 
 
-def dbscan(xyz, mask, eps, min_points: int, *, tile: int | None = None, max_iters: int = 64):
+# VMEM budget for the fused Pallas path: six 1-D f32/i32 arrays resident
+_PALLAS_MAX_N = 262144
+
+
+def dbscan(
+    xyz,
+    mask,
+    eps,
+    min_points: int,
+    *,
+    tile: int | None = None,
+    max_iters: int = 64,
+    use_pallas: bool | None = None,
+):
     """Cluster points within eps (DBSCAN semantics).
 
     xyz: f32[N,3], mask: bool[N].  `tile` (column-tile width of the
     pairwise-distance pass) defaults to the largest divisor of N <= 512.
     Returns (labels i32[N], core bool[N]); labels are compact cluster ids
     (0..K-1 ordered by min core index), -1 for noise/invalid.
+
+    On TPU, tables up to 256k points run the fused Pallas
+    neighbor-reduction kernel (whole table VMEM-resident).
     """
     n = xyz.shape[0]
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and n % 1024 == 0 and n <= _PALLAS_MAX_N
+        )
     tile = _pick_tile(n, 512) if tile is None else tile
-    return _dbscan_jit(xyz, mask, eps, min_points, tile=tile, max_iters=max_iters)
+    return _dbscan_jit(
+        xyz, mask, eps, min_points, tile=tile, max_iters=max_iters,
+        use_pallas=use_pallas,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("min_points", "tile", "max_iters"))
-def _dbscan_jit(xyz, mask, eps, min_points: int, *, tile: int, max_iters: int):
+@functools.partial(
+    jax.jit, static_argnames=("min_points", "tile", "max_iters", "use_pallas")
+)
+def _dbscan_jit(
+    xyz, mask, eps, min_points: int, *, tile: int, max_iters: int,
+    use_pallas: bool = False,
+):
     n = xyz.shape[0]
     if n % tile:
         raise ValueError(f"capacity {n} must be a multiple of tile {tile}")
     nt = n // tile
     eps2 = jnp.square(jnp.float32(eps))
-    sq = jnp.sum(xyz * xyz, axis=1)
     inf = jnp.int32(n)
 
-    def get_tile(arr, j):
-        return lax.dynamic_slice_in_dim(arr, j * tile, tile, axis=0)
+    if use_pallas:
+        from pointcloudhookup_tpu.ops.pallas.neighbor import neighbor_reduce
 
-    # ---- pass 1: neighbor counts -> core mask
-    def count_body(acc, j):
-        d2 = _tile_dist2(xyz, sq, get_tile(xyz, j), get_tile(sq, j))
-        nb = (d2 <= eps2) & get_tile(mask, j)[None, :]
-        return acc + jnp.sum(nb.astype(jnp.int32), axis=1), None
+        pop, _ = neighbor_reduce(
+            xyz, jnp.zeros(n, jnp.int32), mask.astype(jnp.float32), mask, eps2,
+            sentinel=n,
+        )
+        counts = pop.astype(jnp.int32)
+        core = mask & (counts >= min_points)
 
-    counts, _ = lax.scan(count_body, jnp.zeros(n, jnp.int32), jnp.arange(nt))
-    core = mask & (counts >= min_points)
+        def neighbor_min(labels, allowed):
+            _, lmin = neighbor_reduce(
+                xyz, labels, jnp.zeros(n, jnp.float32), allowed, eps2, sentinel=n
+            )
+            return lmin
 
-    # ---- tiled min-label-over-neighbors reduction
-    def neighbor_min(labels, allowed):
-        def body(acc, j):
+    else:
+        sq = jnp.sum(xyz * xyz, axis=1)
+
+        def get_tile(arr, j):
+            return lax.dynamic_slice_in_dim(arr, j * tile, tile, axis=0)
+
+        # ---- pass 1: neighbor counts -> core mask
+        def count_body(acc, j):
             d2 = _tile_dist2(xyz, sq, get_tile(xyz, j), get_tile(sq, j))
-            nb = (d2 <= eps2) & get_tile(allowed, j)[None, :]
-            lmin = jnp.min(jnp.where(nb, get_tile(labels, j)[None, :], inf), axis=1)
-            return jnp.minimum(acc, lmin), None
+            nb = (d2 <= eps2) & get_tile(mask, j)[None, :]
+            return acc + jnp.sum(nb.astype(jnp.int32), axis=1), None
 
-        res, _ = lax.scan(body, jnp.full(n, inf, jnp.int32), jnp.arange(nt))
-        return res
+        counts, _ = lax.scan(count_body, jnp.zeros(n, jnp.int32), jnp.arange(nt))
+        core = mask & (counts >= min_points)
+
+        # ---- tiled min-label-over-neighbors reduction
+        def neighbor_min(labels, allowed):
+            def body(acc, j):
+                d2 = _tile_dist2(xyz, sq, get_tile(xyz, j), get_tile(sq, j))
+                nb = (d2 <= eps2) & get_tile(allowed, j)[None, :]
+                lmin = jnp.min(
+                    jnp.where(nb, get_tile(labels, j)[None, :], inf), axis=1
+                )
+                return jnp.minimum(acc, lmin), None
+
+            res, _ = lax.scan(body, jnp.full(n, inf, jnp.int32), jnp.arange(nt))
+            return res
 
     # ---- pass 2: propagate min representative over the core-core graph
     labels0 = jnp.where(core, jnp.arange(n, dtype=jnp.int32), inf)

@@ -10,15 +10,22 @@ noise) the minimum-AREA rectangle of the XY footprint extruded over the
 z extent.  That rectangle is found for ALL clusters at once by scanning
 a dense grid of candidate orientations.
 
-TPU mapping (scatter-free — TPU scatters serialize per update row):
-  * points are sorted by cluster label once; per-cluster sums/counts are
-    segmented-scan reductions read at segment end rows (ops/segments.py);
-  * the angle scan runs in `angle_tile`-wide blocks of a lax.scan so
-    peak memory is [N, angle_tile] regardless of num_angles;
-  * `points_cap` optionally truncates the label-sorted buffer — cluster
-    members sort to the front, so with C clustered points << N the
-    angle work shrinks to [points_cap, ...]; overflow beyond the cap is
-    reported in the 'overflow' output instead of silently clipping.
+TPU mapping (scatter-free, and gather-light):
+  * points are sorted by cluster label ONCE, carrying coordinates as
+    sort payloads (row gathers are expensive; sort payloads are not);
+  * per-cluster sums/counts come from one reverse segmented scan read at
+    each cluster's first row;
+  * cluster members are then densified into a [K, P] tensor (cluster k's
+    rows are contiguous after the sort, so this is one structured
+    gather), and the orientation scan becomes dense [K, P, At]
+    projections + masked min/max over P — plain VPU/MXU work with a
+    small compile footprint (the earlier segmented-scan formulation
+    OOM'd the XLA compile at corridor sizes);
+  * angle blocks stream through a lax.scan so peak memory is
+    [K, P, angle_tile].
+
+`per_cluster_cap` bounds P; clusters with more members report the
+overflow count in 'overflow' instead of silently clipping.
 
 Angle resolution pi/2/A (A=256 -> 0.35 deg) bounds the extent error at
 ~0.6% of the cluster diagonal, well inside the reference's acceptance
@@ -38,7 +45,7 @@ from pointcloudhookup_tpu.ops.segments import boundary_flags, segmented_scan
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_clusters", "num_angles", "angle_tile", "points_cap"),
+    static_argnames=("max_clusters", "num_angles", "angle_tile", "per_cluster_cap", "points_cap"),
 )
 def cluster_obb_stats(
     xyz,
@@ -47,8 +54,9 @@ def cluster_obb_stats(
     *,
     max_clusters: int = 128,
     num_angles: int = 256,
-    angle_tile: int = 16,
-    points_cap: int | None = None,
+    angle_tile: int = 32,
+    per_cluster_cap: int = 16384,
+    points_cap: int | None = None,  # retained for API compat; unused
 ):
     """Per-cluster gravity-aligned OBB stats.
 
@@ -57,84 +65,77 @@ def cluster_obb_stats(
       count, centroid[K,3] (mean of member points), center[K,3] (box center),
       extent[K,3] (ex >= ey horizontal extents, ez vertical), angle (rad of
       the long horizontal axis), north_angle (deg, reference convention),
-      alive (bool), plus a scalar 'overflow' count of clustered points
-      beyond points_cap (0 when everything was measured).
+      alive (bool), plus scalar 'overflow' = members beyond per_cluster_cap
+      (0 when every cluster was fully measured).
     """
+    del points_cap
     n = xyz.shape[0]
     k = max_clusters
+    p = min(per_cluster_cap, n)
     if num_angles % angle_tile:
         raise ValueError("num_angles must be a multiple of angle_tile")
     big = jnp.float32(3.0e38)
     valid = (labels >= 0) & (labels < k) & mask
     lab = jnp.where(valid, labels, k).astype(jnp.int32)
 
-    # ---- sort by label, carrying coordinates as payloads (row gathers
-    # are far more expensive than extra sort operands on TPU); cluster
-    # members land at the front
+    # ---- sort by label, carrying coordinates as payloads; members of
+    # each cluster become one contiguous run at the front
     lab_s, sx, sy, sz = lax.sort(
         (lab, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1
     )
-    xyz_s = jnp.stack([sx, sy, sz], axis=1)
     w = (lab_s < k).astype(jnp.float32)
     is_start = boundary_flags(lab_s)
 
-    # per-cluster first/last rows
     ar = jnp.arange(k, dtype=jnp.int32)
-    ends = jnp.searchsorted(lab_s, ar, side="right").astype(jnp.int32) - 1
     lefts = jnp.searchsorted(lab_s, ar, side="left").astype(jnp.int32)
-    alive = ends >= lefts
-    ce = jnp.clip(ends, 0, n - 1)
+    rights = jnp.searchsorted(lab_s, ar, side="right").astype(jnp.int32)
+    counts_i = rights - lefts
+    alive = counts_i > 0
     cl = jnp.clip(lefts, 0, n - 1)
 
-    # ---- counts / centroids: reverse segmented scan puts each
-    # cluster's totals on its first row; read K rows (tiny gather)
-    vals = jnp.concatenate([xyz_s * w[:, None], w[:, None]], axis=1)
+    # ---- counts / centroids: reverse segmented scan totals at first rows
+    vals = jnp.stack([sx * w, sy * w, sz * w, w], axis=1)
     totals = segmented_scan(jnp.add, vals, is_start, reverse=True)
     counts = jnp.where(alive, totals[cl, 3], 0.0)
     centroid = jnp.where(
         alive[:, None], totals[cl, :3] / jnp.maximum(counts, 1.0)[:, None], 0.0
     )
+    overflow = jnp.sum(jnp.maximum(counts_i - p, 0).astype(jnp.float32))
 
-    # ---- truncate for the angle scan (members are at the front)
-    cap = n if points_cap is None else min(points_cap, n)
-    total_members = jnp.sum(w)
-    overflow = jnp.maximum(total_members - cap, 0.0)
-    xs = xyz_s[:cap]
-    vs = (lab_s[:cap] < k)
-    is_start_c = is_start[:cap]
-    ce_c = jnp.clip(ends, 0, cap - 1)
+    # ---- densify: [K, P] member tensor.  Each cluster is a contiguous
+    # run after the sort, so this is K dynamic SLICES (block copies), not
+    # an elementwise gather.
+    starts = jnp.minimum(lefts, n - p)
+    pidx = jnp.arange(p, dtype=jnp.int32)[None, :]  # [1, P]
+    pos = starts[:, None] + pidx  # [K, P] absolute rows
+    member = (pos >= lefts[:, None]) & (pos < rights[:, None])
+
+    def take(v):
+        return jax.vmap(lambda s: lax.dynamic_slice_in_dim(v, s, p))(starts)
+
+    gx = take(sx)
+    gy = take(sy)
+    gz = take(sz)
 
     # ---- tiled angle scan for the min-area XY rectangle
-    xy = xs[:, :2]
     n_tiles = num_angles // angle_tile
 
     def angle_body(_, t):
         a = (t * angle_tile + jnp.arange(angle_tile, dtype=jnp.float32)) * (
             jnp.pi / 2.0 / num_angles
         )
-        du = jnp.stack([jnp.cos(a), jnp.sin(a)])  # [2, At]
-        dv = jnp.stack([-jnp.sin(a), jnp.cos(a)])
-        # full f32: reduced-precision dots quantize the projections by
-        # ~0.3 m at corridor scales, inflating fitted extents
-        pu = jnp.dot(xy, du, precision=jax.lax.Precision.HIGHEST)
-        pv = jnp.dot(xy, dv, precision=jax.lax.Precision.HIGHEST)
-        pu_hi = segmented_scan(
-            jnp.maximum, jnp.where(vs[:, None], pu, -big), is_start_c
-        )[ce_c]
-        pu_lo = segmented_scan(
-            jnp.minimum, jnp.where(vs[:, None], pu, big), is_start_c
-        )[ce_c]
-        pv_hi = segmented_scan(
-            jnp.maximum, jnp.where(vs[:, None], pv, -big), is_start_c
-        )[ce_c]
-        pv_lo = segmented_scan(
-            jnp.minimum, jnp.where(vs[:, None], pv, big), is_start_c
-        )[ce_c]
+        cos_a = jnp.cos(a)[None, None, :]
+        sin_a = jnp.sin(a)[None, None, :]
+        pu = gx[:, :, None] * cos_a + gy[:, :, None] * sin_a  # [K, P, At]
+        pv = -gx[:, :, None] * sin_a + gy[:, :, None] * cos_a
+        mk = member[:, :, None]
+        pu_hi = jnp.max(jnp.where(mk, pu, -big), axis=1)  # [K, At]
+        pu_lo = jnp.min(jnp.where(mk, pu, big), axis=1)
+        pv_hi = jnp.max(jnp.where(mk, pv, -big), axis=1)
+        pv_lo = jnp.min(jnp.where(mk, pv, big), axis=1)
         return None, (pu_hi - pu_lo, pv_hi - pv_lo, pu_hi + pu_lo, pv_hi + pv_lo)
 
-    _, (eu_t, ev_t, su_t, sv_t) = lax.scan(
-        angle_body, None, jnp.arange(n_tiles)
-    )  # each [T, K, At]
+    _, (eu_t, ev_t, su_t, sv_t) = lax.scan(angle_body, None, jnp.arange(n_tiles))
 
     def flat(x):  # [T, K, At] -> [K, A]
         return jnp.moveaxis(x, 0, 1).reshape(k, num_angles)
@@ -151,10 +152,9 @@ def cluster_obb_stats(
     v_vec = jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=1)
     center_xy = cu[:, None] * u_vec + cv[:, None] * v_vec
 
-    # ---- z extent (same segmented machinery, single column)
-    z = xs[:, 2]
-    z_hi = segmented_scan(jnp.maximum, jnp.where(vs, z, -big), is_start_c)[ce_c]
-    z_lo = segmented_scan(jnp.minimum, jnp.where(vs, z, big), is_start_c)[ce_c]
+    # ---- z extent over the dense member tensor
+    z_hi = jnp.max(jnp.where(member, gz, -big), axis=1)
+    z_lo = jnp.min(jnp.where(member, gz, big), axis=1)
     ez = z_hi - z_lo
     center = jnp.concatenate([center_xy, ((z_hi + z_lo) * 0.5)[:, None]], axis=1)
 

