@@ -73,7 +73,6 @@ def grid_dbscan(
 
     from pointcloudhookup_tpu.ops.segments import (
         boundary_flags,
-        pack_segments,
         segmented_scan,
     )
 
@@ -100,11 +99,19 @@ def grid_dbscan(
     pidx_row = jnp.cumsum((is_start & dense_row).astype(jnp.int32)) - 1
     cell_sorted = jnp.where(dense_row & (pidx_row < m), pidx_row, m)
 
-    # ---- pack the dense-cell table with one more sort (not a scatter)
+    # ---- pack the dense-cell table: one 2-operand sort finds the start
+    # rows in packed order, then 4 m-sized gathers copy the payloads
+    # (much lighter than sorting 5 full payload columns)
     pack_key = jnp.where(is_start & (cell_sorted < m), cell_sorted, m)
-    counts, ckx, cky, ckz = pack_segments(
-        pack_key, (count_row, kx, ky, kz), m
+    row_iota = jnp.arange(n, dtype=jnp.int32)
+    _, packed_rows = lax.sort((pack_key, row_iota), num_keys=1)
+    rows_m = jnp.clip(packed_rows[:m], 0, n - 1) if m <= n else jnp.clip(
+        jnp.concatenate([packed_rows, jnp.zeros(m - n, jnp.int32)]), 0, n - 1
     )
+    counts = count_row[rows_m]
+    ckx = kx[rows_m]
+    cky = ky[rows_m]
+    ckz = kz[rows_m]
     table_rank = jnp.arange(m, dtype=jnp.int32)
     n_dense = jnp.sum((is_start & (cell_sorted < m)).astype(jnp.int32))
     cell_alive = table_rank < n_dense

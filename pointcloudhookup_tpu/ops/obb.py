@@ -117,37 +117,43 @@ def cluster_obb_stats(
     gy = take(sy)
     gz = take(sz)
 
-    # ---- tiled angle scan for the min-area XY rectangle
-    n_tiles = num_angles // angle_tile
+    # ---- hierarchical angle search for the min-area XY rectangle:
+    # a coarse pass over [0, pi/2) picks each cluster's basin, a refine
+    # pass samples +-1 coarse step around it.  Effective resolution
+    # (pi/2) / (coarse * refine//2) at coarse + refine evaluations
+    # (e.g. 32 + 17 evals ~ a flat 256-angle scan).
+    coarse = min(angle_tile * 2, num_angles, 32)
+    refine = 17  # odd: center sample = the coarse winner itself
+    step = jnp.pi / 2.0 / coarse
 
-    def angle_body(_, t):
-        a = (t * angle_tile + jnp.arange(angle_tile, dtype=jnp.float32)) * (
-            jnp.pi / 2.0 / num_angles
-        )
-        cos_a = jnp.cos(a)[None, None, :]
-        sin_a = jnp.sin(a)[None, None, :]
-        pu = gx[:, :, None] * cos_a + gy[:, :, None] * sin_a  # [K, P, At]
+    def rect_stats(angles):  # angles [K, A] per-cluster -> extents/sums
+        cos_a = jnp.cos(angles)[:, None, :]
+        sin_a = jnp.sin(angles)[:, None, :]
+        pu = gx[:, :, None] * cos_a + gy[:, :, None] * sin_a  # [K, P, A]
         pv = -gx[:, :, None] * sin_a + gy[:, :, None] * cos_a
         mk = member[:, :, None]
-        pu_hi = jnp.max(jnp.where(mk, pu, -big), axis=1)  # [K, At]
+        pu_hi = jnp.max(jnp.where(mk, pu, -big), axis=1)
         pu_lo = jnp.min(jnp.where(mk, pu, big), axis=1)
         pv_hi = jnp.max(jnp.where(mk, pv, -big), axis=1)
         pv_lo = jnp.min(jnp.where(mk, pv, big), axis=1)
-        return None, (pu_hi - pu_lo, pv_hi - pv_lo, pu_hi + pu_lo, pv_hi + pv_lo)
+        return pu_hi - pu_lo, pv_hi - pv_lo, pu_hi + pu_lo, pv_hi + pv_lo
 
-    _, (eu_t, ev_t, su_t, sv_t) = lax.scan(angle_body, None, jnp.arange(n_tiles))
+    a1 = jnp.arange(coarse, dtype=jnp.float32) * step
+    eu1, ev1, _, _ = rect_stats(jnp.broadcast_to(a1[None, :], (k, coarse)))
+    best1 = jnp.argmin(eu1 * ev1, axis=1)
+    theta1 = best1.astype(jnp.float32) * step
 
-    def flat(x):  # [T, K, At] -> [K, A]
-        return jnp.moveaxis(x, 0, 1).reshape(k, num_angles)
-
-    eu, ev, su, sv = flat(eu_t), flat(ev_t), flat(su_t), flat(sv_t)
+    half = refine // 2
+    deltas = (jnp.arange(refine, dtype=jnp.float32) - half) * (step / half)
+    a2 = theta1[:, None] + deltas[None, :]  # [K, refine]
+    eu, ev, su, sv = rect_stats(a2)
     area = eu * ev
     best = jnp.argmin(area, axis=1)
     eu_b = eu[ar, best]
     ev_b = ev[ar, best]
     cu = su[ar, best] * 0.5
     cv = sv[ar, best] * 0.5
-    theta = best.astype(jnp.float32) * (jnp.pi / 2.0 / num_angles)
+    theta = a2[ar, best]
     u_vec = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
     v_vec = jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=1)
     center_xy = cu[:, None] * u_vec + cv[:, None] * v_vec
