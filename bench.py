@@ -55,26 +55,23 @@ def main():
 
     from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
     from pointcloudhookup_tpu.models.towers import filter_and_dedup
-    from pointcloudhookup_tpu.ops.cluster_grid import grid_dbscan
-    from pointcloudhookup_tpu.ops.ground import ground_filter
+    from pointcloudhookup_tpu.ops.frontend_fused import (
+        fused_downsample_ground_cluster,
+    )
     from pointcloudhookup_tpu.ops.obb import cluster_obb_stats
-    from pointcloudhookup_tpu.ops.voxel import voxel_downsample
 
     params = ExtractParams(cluster=ClusterParams())
 
-    # Stages are jitted separately: the monolithic 4M-point graph
-    # overruns the remote compile helper's memory cap (SIGKILL).  The
-    # stage boundaries cost one dispatch each; buffers stay on device.
+    # The fused Morton front-end (one sort for voxel dedup + cell
+    # grouping) plus the OBB/filter stages; jitted separately — one
+    # monolithic graph overruns the compile helper's memory cap.
     def frontend(xyz, mask):
-        ds_xyz, ds_mask = voxel_downsample(xyz, mask, 0.1)
-        keep, base = ground_filter(ds_xyz, ds_mask, params.ground)
-        labels, core = grid_dbscan(
-            ds_xyz, keep, params.cluster.eps, params.cluster.min_points,
-            max_cells=8192, min_cell_points=3,
+        ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
+            xyz, mask, params, max_cells=8192, min_cell_points=3
         )
         stats = cluster_obb_stats(
             ds_xyz, labels, keep, max_clusters=params.max_clusters,
-            num_angles=params.obb_angles, points_cap=1 << 19,
+            num_angles=params.obb_angles,
         )
         accepted = filter_and_dedup(stats, params.filters)
         return labels, stats, accepted, base

@@ -129,6 +129,9 @@ def cmd_match(args, corrected: bool = False):
     if args.csv:
         res.to_csv(args.csv)
         print(f"tables -> {args.csv}")
+    if getattr(args, "html", None):
+        res.to_html(args.html)
+        print(f"review page -> {args.html}")
     if corrected and args.save:
         rows = pipeline.corrected_rows_from_result(res, records)
         ok = pipeline.save_gim(folder, rows, args.save, original_gim_path=args.gim, log_callback=print)
@@ -290,6 +293,7 @@ def main(argv=None):
         sp.add_argument("--region-n-value", type=float, default=25.0)
         sp.add_argument("--output-folder", default="output")
         sp.add_argument("--csv", help="write the side-by-side tables")
+        sp.add_argument("--html", help="write the highlighted review page")
         if corrected:
             sp.add_argument("--save", help="write the corrected .gim here")
         sp.set_defaults(fn=lambda a, c=corrected: cmd_match(a, c))

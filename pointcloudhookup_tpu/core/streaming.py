@@ -113,16 +113,29 @@ def stream_extract(
     capacity: int,
     params=None,
     origin: Optional[np.ndarray] = None,
+    fetch_labels: bool = False,
 ):
     """Run the extraction step over streamed tiles; returns a list of
     per-tile (stats dict numpy, meta).  One-tile prefetch keeps the
-    device busy while the host decodes."""
+    device busy while the host decodes.
+
+    Only the [K]-sized tower summaries are pulled to host by default;
+    the per-point label/mask arrays (capacity-sized) stay on device
+    unless fetch_labels=True — hauling them back dominates wall time on
+    transfer-limited links."""
     from pointcloudhookup_tpu.config import ExtractParams
     from pointcloudhookup_tpu.models.towers import extract_step
 
     params = params or ExtractParams()
+    point_sized = ("labels", "ground_keep", "ds_xyz")
     results = []
     for xyz, mask, meta in TileStreamer(sources, capacity, origin=origin):
         stats = extract_step(xyz, mask, params)
-        results.append(({k: np.asarray(v) for k, v in stats.items()}, meta))
+        out = {}
+        for k, v in stats.items():
+            if k in point_sized and not fetch_labels:
+                out[k] = v  # leave on device
+            else:
+                out[k] = np.asarray(v)
+        results.append((out, meta))
     return results

@@ -329,6 +329,53 @@ class MatchResult:
         right.insert(0, "配对GIM行", [pair_of_pc.get(i, "") for i in range(len(self.pc_rows))])
         pd.concat([left, right], axis=1).to_csv(path, index=False)
 
+    # rotating row-highlight palette, as in the reference's Qt panel
+    # (/root/reference/utils/table_match_gim.py:288: lightblue /
+    # light yellow / gainsboro)
+    _COLORS = ("#ADD8E6", "#FFFFCC", "#DCDCDC")
+
+    def to_html(self, path: str, title: str = "匹配结果") -> None:
+        """Self-contained review page: GIM and point-cloud tables side by
+        side, matched pairs highlighted in rotating colors (the headless
+        replacement for the reference's review panel)."""
+        color_of_gim = {}
+        color_of_pc = {}
+        for i, (gi, pi) in enumerate(self.pairs):
+            c = self._COLORS[i % len(self._COLORS)]
+            color_of_gim[gi] = c
+            color_of_pc[pi] = c
+
+        def table(rows, headers, colors):
+            out = ["<table border='1' cellspacing='0' cellpadding='4'>"]
+            out.append(
+                "<tr>" + "".join(f"<th>{h}</th>" for h in headers) + "</tr>"
+            )
+            for i, row in enumerate(rows):
+                style = f" style='background:{colors[i]}'" if i in colors else ""
+                out.append(
+                    f"<tr{style}>" + "".join(f"<td>{v}</td>" for v in row) + "</tr>"
+                )
+            out.append("</table>")
+            return "\n".join(out)
+
+        left = table(
+            self.gim_rows, ["杆塔编号", "纬度", "经度", "高程", "北方向偏角"], color_of_gim
+        )
+        right = table(
+            self.pc_rows,
+            ["杆塔编号", "纬度(WGS84)", "经度(WGS84)", "高程(正高)", "北方向偏角"],
+            color_of_pc,
+        )
+        mode = "校对" if self.corrected_gim else "匹配"
+        html = f"""<!doctype html><meta charset="utf-8"><title>{title}</title>
+<h2>{title} ({mode}; {len(self.pairs)} 对)</h2>
+<div style="display:flex; gap:24px; font-family:sans-serif; font-size:13px">
+<div><h3>GIM 数据</h3>{left}</div>
+<div><h3>点云数据 (正高转换后)</h3>{right}</div>
+</div>"""
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(html)
+
 
 def convert_pointcloud_towers(
     pc_towers: Sequence[Tower],

@@ -1,0 +1,206 @@
+"""Fused extraction front-end: ONE Morton sort for downsample + cluster.
+
+The modular pipeline sorts the cloud twice (voxel keys, then cell keys)
+and unsorts once.  Because a cell of size voxel*2^k shares the Morton
+PREFIX of its voxels, a single Morton sort makes both voxel runs and
+cell runs contiguous:
+
+  raw points --Morton sort--> voxel runs --reverse segscan--> voxel
+  centroids at run starts --global z percentile--> ground keep -->
+  cell runs (prefix boundaries) --reverse segscan--> dense-cell table
+  --pallas graph passes--> cell labels --> per-voxel labels -->
+  cluster_obb_stats (which label-sorts internally) --> towers
+
+With voxel = 0.1 m and cell_shift = 5, cells are 3.2 m: the same-cell
+diagonal (5.5 m) stays below the reference eps = 8 m, so the cell-graph
+clustering semantics match ops/cluster_grid.py.
+
+Everything is one device program except the OBB/filters (reused ops);
+no scatters, two sorts total (keys+payloads; z for the percentile),
+one m-table gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pointcloudhookup_tpu.config import ExtractParams
+from pointcloudhookup_tpu.ops.cluster import compact_labels
+from pointcloudhookup_tpu.ops.morton import SENTINEL_HI, morton_encode
+from pointcloudhookup_tpu.ops.percentile import masked_percentile
+from pointcloudhookup_tpu.ops.segments import segmented_scan
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "max_cells", "min_cell_points", "cell_shift"),
+)
+def fused_downsample_ground_cluster(
+    xyz,
+    mask,
+    params: ExtractParams = ExtractParams(),
+    *,
+    max_cells: int = 8192,
+    min_cell_points: int = 2,
+    cell_shift: int = 5,
+    voxel_size: float = 0.1,
+):
+    """One-pass voxel downsample + global ground filter + cell-graph
+    clustering.
+
+    Returns (ds_xyz f32[N,3] voxel centroids at run-start rows,
+    ds_mask bool[N] kept-above-ground voxels, labels i32[N] compact
+    cluster ids at those rows / -1, base_height scalar).
+    """
+    n = xyz.shape[0]
+    m = max_cells
+    gp = params.ground
+    cp = params.cluster
+    eps = jnp.float32(cp.eps)
+    big = jnp.float32(3.0e38)
+    shift3k = 3 * cell_shift
+
+    # ---- Morton keys + ONE sort carrying coordinates
+    mn = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    v = jnp.floor((xyz - mn) / voxel_size).astype(jnp.int32)
+    hi, lo = morton_encode(v[:, 0], v[:, 1], v[:, 2])
+    hi = jnp.where(mask, hi, SENTINEL_HI)
+    w_in = mask.astype(jnp.float32)
+    hi, lo, sx, sy, sz, w = lax.sort(
+        (hi, lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], w_in), num_keys=2
+    )
+
+    # ---- voxel runs -> centroids/counts at run-start rows
+    v_start = ((hi != jnp.roll(hi, 1)) | (lo != jnp.roll(lo, 1))).at[0].set(True)
+    vals = jnp.stack([sx * w, sy * w, sz * w, w], axis=1)
+    vtot = segmented_scan(jnp.add, vals, v_start, reverse=True)
+    vcount = vtot[:, 3]
+    vcent = vtot[:, :3] / jnp.maximum(vcount, 1.0)[:, None]
+    voxel_valid = v_start & (vcount > 0.0) & (hi != SENTINEL_HI)
+
+    # ---- global ground percentile over voxel centroids
+    vz = jnp.where(voxel_valid, vcent[:, 2], jnp.inf)
+    base = masked_percentile(vz, voxel_valid, gp.percentile)
+    keep = voxel_valid & (vcent[:, 2] > base + gp.offset)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    keep = lax.cond(
+        n_keep < gp.min_points_after,
+        lambda: voxel_valid & (vcent[:, 2] > base + gp.retry_offset),
+        lambda: keep,
+    )
+
+    # ---- cell runs (Morton prefix boundaries), stats over KEPT voxels
+    if shift3k >= 30:
+        c_hi = hi >> (shift3k - 30)
+        c_lo = jnp.zeros_like(lo)
+    else:
+        c_hi = hi
+        c_lo = (lo >> shift3k) | ((hi & ((1 << shift3k) - 1)) << (30 - shift3k))
+    c_start = ((c_hi != jnp.roll(c_hi, 1)) | (c_lo != jnp.roll(c_lo, 1))).at[0].set(True)
+    kw = keep.astype(jnp.float32)
+    cvals = jnp.stack(
+        [vcent[:, 0] * kw, vcent[:, 1] * kw, vcent[:, 2] * kw, kw], axis=1
+    )
+    ctot = segmented_scan(jnp.add, cvals, c_start, reverse=True)
+    ccount_row = segmented_scan(
+        jnp.maximum, jnp.where(c_start, ctot[:, 3], 0.0), c_start
+    )
+    dense_row = ccount_row >= jnp.float32(min_cell_points)
+
+    # packed cell index per row
+    pidx_row = jnp.cumsum((c_start & dense_row).astype(jnp.int32)) - 1
+    in_table = dense_row & (pidx_row < m)
+
+    # ---- pack the dense-cell table (2-operand sort + m gathers)
+    pack_key = jnp.where(c_start & in_table, pidx_row, m)
+    _, packed_rows = lax.sort(
+        (pack_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    rows_m = jnp.clip(packed_rows[:m], 0, n - 1)
+    ccount = ctot[rows_m, 3]
+    ccent = ctot[rows_m, :3] / jnp.maximum(ccount, 1.0)[:, None]
+    n_dense = jnp.sum((c_start & in_table).astype(jnp.int32))
+    cell_alive = jnp.arange(m, dtype=jnp.int32) < n_dense
+    ccount = jnp.where(cell_alive, ccount, 0.0)
+    centers = jnp.where(cell_alive[:, None], ccent, big)
+
+    # ---- cell-graph clustering (fused pallas kernel on TPU)
+    eps2 = eps * eps
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from pointcloudhookup_tpu.ops.pallas.neighbor import neighbor_reduce
+
+        def _reduce(labels, weights, allowed):
+            return neighbor_reduce(centers, labels, weights, allowed, eps2, sentinel=m)
+    else:
+
+        def _reduce(labels, weights, allowed):
+            from pointcloudhookup_tpu.ops.pallas.neighbor import (
+                neighbor_reduce_reference,
+            )
+
+            return neighbor_reduce_reference(
+                centers, labels, weights, allowed, eps2, sentinel=m
+            )
+
+    pop, _ = _reduce(jnp.zeros(m, jnp.int32), ccount, cell_alive)
+    core_cell = cell_alive & (pop >= cp.min_points)
+
+    def neighbor_min(labels, allowed):
+        _, lmin = _reduce(labels, jnp.zeros(m, jnp.float32), allowed)
+        return lmin
+
+    labels0 = jnp.where(core_cell, jnp.arange(m, dtype=jnp.int32), m)
+
+    def step(state):
+        labels, _, it = state
+        new = jnp.where(
+            core_cell, jnp.minimum(labels, neighbor_min(labels, core_cell)), labels
+        )
+        for _ in range(2):
+            new = jnp.where(
+                core_cell, jnp.minimum(new, new[jnp.clip(new, 0, m - 1)]), new
+            )
+        return new, jnp.any(new != labels), it + 1
+
+    cell_labels, _, _ = lax.while_loop(
+        lambda s: s[1] & (s[2] < 64), step, (labels0, jnp.bool_(True), jnp.int32(0))
+    )
+    border = neighbor_min(cell_labels, core_cell)
+    cell_labels = jnp.where(core_cell, cell_labels, jnp.where(cell_alive, border, m))
+    cell_labels = compact_labels(cell_labels, jnp.int32(m))
+
+    # ---- per-voxel labels (one gather from the m-table)
+    labels = jnp.where(
+        keep & in_table, cell_labels[jnp.clip(pidx_row, 0, m - 1)], -1
+    )
+    ds_xyz = jnp.where(voxel_valid[:, None], vcent, 0.0)
+    return ds_xyz, keep, labels, base
+
+
+def fused_extract_step(
+    xyz,
+    mask,
+    params: ExtractParams = ExtractParams(),
+    *,
+    max_cells: int = 8192,
+    min_cell_points: int = 2,
+):
+    """Full fused front-end + OBB + filters (the bench fast path)."""
+    from pointcloudhookup_tpu.models.towers import filter_and_dedup
+    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats
+
+    ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
+        xyz, mask, params, max_cells=max_cells, min_cell_points=min_cell_points
+    )
+    stats = cluster_obb_stats(
+        ds_xyz, labels, keep, max_clusters=params.max_clusters,
+        num_angles=params.obb_angles,
+    )
+    accepted = filter_and_dedup(stats, params.filters)
+    return dict(labels=labels, ground_keep=keep, base_height=base,
+                accepted=accepted, ds_xyz=ds_xyz, **stats)

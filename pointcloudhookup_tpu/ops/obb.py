@@ -158,7 +158,12 @@ def cluster_obb_stats(
     v_vec = jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=1)
     center_xy = cu[:, None] * u_vec + cv[:, None] * v_vec
 
-    # ---- z extent over the dense member tensor
+    # ---- axis-aligned bounds over the dense member tensor (the z pair
+    # is the height extent; x/y feed cross-tile merge adjacency)
+    x_hi = jnp.max(jnp.where(member, gx, -big), axis=1)
+    x_lo = jnp.min(jnp.where(member, gx, big), axis=1)
+    y_hi = jnp.max(jnp.where(member, gy, -big), axis=1)
+    y_lo = jnp.min(jnp.where(member, gy, big), axis=1)
     z_hi = jnp.max(jnp.where(member, gz, -big), axis=1)
     z_lo = jnp.min(jnp.where(member, gz, big), axis=1)
     ez = z_hi - z_lo
@@ -178,6 +183,8 @@ def cluster_obb_stats(
     north = jnp.mod(90.0 - ang_deg, 360.0)
 
     zero3 = jnp.zeros((k, 3), jnp.float32)
+    aabb_min = jnp.stack([x_lo, y_lo, z_lo], axis=1)
+    aabb_max = jnp.stack([x_hi, y_hi, z_hi], axis=1)
     return dict(
         count=counts,
         alive=alive,
@@ -186,6 +193,8 @@ def cluster_obb_stats(
         extent=jnp.where(alive[:, None], jnp.stack([ex, ey, ez], axis=1), zero3),
         angle=jnp.where(alive, theta + swap * (jnp.pi / 2.0), 0.0),
         north_angle=jnp.where(alive, north, 0.0),
+        aabb_min=jnp.where(alive[:, None], aabb_min, big),
+        aabb_max=jnp.where(alive[:, None], aabb_max, -big),
         overflow=overflow,
     )
 

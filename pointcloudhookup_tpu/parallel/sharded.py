@@ -14,11 +14,10 @@ and keeps every collective on ICI:
     every shard deterministically merges fragments / filters / dedups the
     global tower list (replicated compute instead of a gather-to-host).
 
-Fragment merging joins clusters whose centroids fall within
-`merge_radius` (the cross-chunk union-find fix from
-/root/reference/test/tttt.py:104-174); the surviving fragment is the one
-with the most points, with counts accumulated.  Exact cross-tile
-clusters via halo exchange are a planned refinement.
+Fragment merging joins clusters whose axis-aligned bounding boxes come
+within `merge_radius` on every axis (the distributed generalization of
+the cross-chunk union-find fix from /root/reference/test/tttt.py:104-174);
+the surviving fragment is the largest, with counts accumulated.
 """
 
 from __future__ import annotations
@@ -74,19 +73,25 @@ def _global_ground_keep(xyz, mask, params, num_bins=4096):
 
 
 def _merge_fragments(stats, merge_radius):
-    """Deterministic fragment merge over the gathered [D*K] summaries:
-    union groups by centroid distance, keep the largest-count fragment
-    as the group representative with the group's total count."""
-    cent = stats["centroid"]
+    """Deterministic fragment merge over the gathered [D*K] summaries.
+
+    Two fragments are joined when their axis-aligned bounding boxes come
+    within `merge_radius` on EVERY axis (a cluster split by a tile
+    boundary always has eps-adjacent boxes) — much tighter than centroid
+    distance, which misses large split clusters and over-merges small
+    nearby ones.  Representative = largest-count fragment, counts are
+    accumulated."""
     counts = stats["count"]
     alive = stats["alive"]
-    k = cent.shape[0]
-    d2 = jnp.sum((cent[:, None, :] - cent[None, :, :]) ** 2, axis=-1)
-    adj = (
-        (d2 <= jnp.square(jnp.float32(merge_radius)))
-        & alive[:, None]
-        & alive[None, :]
+    k = counts.shape[0]
+    lo = stats["aabb_min"]
+    hi = stats["aabb_max"]
+    gap_ok = jnp.all(
+        (lo[:, None, :] - hi[None, :, :] <= merge_radius)
+        & (lo[None, :, :] - hi[:, None, :] <= merge_radius),
+        axis=-1,
     )
+    adj = gap_ok & alive[:, None] & alive[None, :]
     rep = jnp.where(alive, jnp.arange(k, dtype=jnp.int32), jnp.int32(k))
 
     def step(state):
@@ -161,6 +166,8 @@ def make_sharded_extract(
                 extent=P(),
                 angle=P(),
                 north_angle=P(),
+                aabb_min=P(),
+                aabb_max=P(),
                 overflow=P(),
                 accepted=P(),
                 base_height=P(),

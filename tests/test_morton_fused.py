@@ -1,0 +1,100 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloudhookup_tpu.config import (
+    ClusterParams,
+    ExtractParams,
+    GroundParams,
+)
+from pointcloudhookup_tpu.core import pad_points
+from pointcloudhookup_tpu.ops.frontend_fused import (
+    fused_downsample_ground_cluster,
+    fused_extract_step,
+)
+from pointcloudhookup_tpu.ops.morton import morton_decode, morton_encode, shift_code
+
+
+def test_morton_roundtrip(rng):
+    ix = rng.integers(0, 1 << 20, 1000).astype(np.int32)
+    iy = rng.integers(0, 1 << 20, 1000).astype(np.int32)
+    iz = rng.integers(0, 1 << 20, 1000).astype(np.int32)
+    hi, lo = morton_encode(jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(iz))
+    ox, oy, oz = morton_decode(hi, lo)
+    np.testing.assert_array_equal(np.asarray(ox), ix)
+    np.testing.assert_array_equal(np.asarray(oy), iy)
+    np.testing.assert_array_equal(np.asarray(oz), iz)
+    # all codes non-negative (int32-safe)
+    assert (np.asarray(hi) >= 0).all() and (np.asarray(lo) >= 0).all()
+
+
+def test_morton_order_matches_numeric(rng):
+    # lexicographic (hi, lo) == numeric 60-bit Morton order
+    ix = rng.integers(0, 1 << 20, 500)
+    iy = rng.integers(0, 1 << 20, 500)
+    iz = rng.integers(0, 1 << 20, 500)
+    hi, lo = morton_encode(jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(iz))
+    hi, lo = np.asarray(hi).astype(np.int64), np.asarray(lo).astype(np.int64)
+    full = (hi << 30) | lo
+    order_pairs = np.lexsort((lo, hi))
+    order_full = np.argsort(full, kind="stable")
+    np.testing.assert_array_equal(order_pairs, order_full)
+
+
+def test_morton_shift_is_prefix(rng):
+    # cell code of (v >> k per axis) == full code >> 3k
+    k = 5
+    ix = rng.integers(0, 1 << 20, 500).astype(np.int32)
+    iy = rng.integers(0, 1 << 20, 500).astype(np.int32)
+    iz = rng.integers(0, 1 << 20, 500).astype(np.int32)
+    hi, lo = morton_encode(jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(iz))
+    s_hi, s_lo = shift_code(hi, lo, 3 * k)
+    c_hi, c_lo = morton_encode(
+        jnp.asarray(ix >> k), jnp.asarray(iy >> k), jnp.asarray(iz >> k)
+    )
+    np.testing.assert_array_equal(np.asarray(s_hi), np.asarray(c_hi))
+    np.testing.assert_array_equal(np.asarray(s_lo), np.asarray(c_lo))
+
+
+def _params():
+    return ExtractParams(
+        ground=GroundParams(min_points_after=100),
+        cluster=ClusterParams(eps=5.0, min_points=30),
+        max_clusters=32,
+        obb_angles=64,
+    )
+
+
+def test_fused_frontend_matches_modular(corridor):
+    pts, centers = corridor
+    origin = pts.mean(axis=0)
+    xyz, mask = pad_points((pts - origin).astype(np.float32), 8192)
+    out = fused_extract_step(
+        jnp.asarray(xyz), jnp.asarray(mask), _params(),
+        max_cells=2048, min_cell_points=1,
+    )
+    accepted = np.asarray(out["accepted"])
+    assert accepted.sum() == len(centers)
+    got = np.asarray(out["center"])[accepted] + origin
+    want = np.array(sorted(centers[:, :2].tolist()))
+    np.testing.assert_allclose(
+        np.array(sorted(got[:, :2].tolist())), want, atol=2.5
+    )
+    # heights/widths in tower range
+    ext = np.asarray(out["extent"])[accepted]
+    assert (ext[:, 2] > 15).all() and ((ext[:, 0] > 8) & (ext[:, 0] < 50)).all()
+
+
+def test_fused_ground_base_matches_percentile(corridor):
+    pts, _ = corridor
+    origin = pts.mean(axis=0)
+    xyz, mask = pad_points((pts - origin).astype(np.float32), 8192)
+    ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), _params(),
+        max_cells=2048, min_cell_points=1,
+    )
+    # base is the P25 of the voxel-downsampled z (within voxel size)
+    z = pts[:, 2] - origin[2]
+    assert abs(float(base) - np.percentile(z, 25)) < 0.3
+    # labels only on kept voxel rows
+    lab = np.asarray(labels)
+    assert (lab[~np.asarray(keep)] == -1).all()

@@ -138,3 +138,32 @@ def test_match_semantics_pc_towers_not_consumed():
     ]
     pairs = match_towers(gim, pc)
     assert pairs == [(0, 0), (1, 0)]
+
+
+def test_match_result_exports(tmp_path):
+    from pointcloudhookup_tpu.models.pipeline import ConvertedTower, _build_result
+
+    gim = [
+        dict(lat=28.0, lng=113.0, h=50.0, r=10.0, properties={"杆塔编号": "P1"}),
+        dict(lat=28.1, lng=113.1, h=51.0, r=20.0, properties={"杆塔编号": "P2"}),
+    ]
+    pc = [
+        ConvertedTower(
+            id="PC-1", converted_center=[113.0, 28.0, 49.0], height=30.0,
+            north_angle=5.0, original_center=[0, 0, 74.0], ellipsoid_height=74.0,
+            orthometric_height=49.0, n_value=25.0, height_conversion_applied=True,
+        )
+    ]
+    res = _build_result(gim, pc, [(0, 0)], corrected=False)
+    csv_path = str(tmp_path / "t.csv")
+    res.to_csv(csv_path)
+    text = open(csv_path, encoding="utf-8").read()
+    assert "配对PC行" in text and "配对GIM行" in text
+    html_path = str(tmp_path / "t.html")
+    res.to_html(html_path)
+    html = open(html_path, encoding="utf-8").read()
+    assert "#ADD8E6" in html  # first pair highlighted
+    assert "P1" in html and "点云数据" in html
+    # matched PC adopted GIM id + north angle
+    assert res.pc_rows[0][0] == "P1"
+    assert res.pc_rows[0][4] == "10.0"
