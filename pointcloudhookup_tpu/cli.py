@@ -89,6 +89,26 @@ def cmd_compress(args):
 def cmd_extract(args):
     from pointcloudhookup_tpu.models.pipeline import extract
 
+    params = None
+    if getattr(args, "per_chunk", False):
+        from pointcloudhookup_tpu.config import (
+            ClusterParams,
+            ExtractParams,
+            TowerFilterParams,
+        )
+
+        params = ExtractParams(
+            cluster=ClusterParams(
+                eps=args.eps, min_points=args.min_points, per_chunk=True
+            ),
+            filters=TowerFilterParams(
+                aspect_ratio_threshold=args.aspect_ratio_threshold,
+                min_height=args.min_height,
+                max_width=args.max_width,
+                min_width=args.min_width,
+                duplicate_threshold=args.duplicate_threshold,
+            ),
+        )
     towers = extract(
         args.las,
         log_callback=print,
@@ -99,6 +119,7 @@ def cmd_extract(args):
         max_width=args.max_width,
         min_width=args.min_width,
         duplicate_threshold=args.duplicate_threshold,
+        params=params,
         output_dir=args.output_dir,
         excel_path=args.excel,
     )
@@ -283,6 +304,10 @@ def main(argv=None):
     add_extract_args(sp)
     sp.add_argument("--output-dir", help="save per-tower LAS files here")
     sp.add_argument("--excel", help="towers_info table path")
+    sp.add_argument(
+        "--per-chunk", action="store_true",
+        help="reference-parity per-50k-chunk clustering (labels never merge across chunks)",
+    )
     sp.set_defaults(fn=cmd_extract)
 
     for name, corrected in (("match", False), ("correct", True)):

@@ -133,7 +133,17 @@ def make_sharded_extract(
 
     def step(xyz, mask):
         keep, base = _global_ground_keep(xyz, mask, params)
-        labels, _core = dbscan(xyz, keep, params.cluster.eps, params.cluster.min_points)
+        cp = params.cluster
+        n_local = xyz.shape[0]
+        if cp.method == "grid" or (cp.method == "auto" and n_local > cp.auto_grid_threshold):
+            from pointcloudhookup_tpu.ops.cluster_grid import grid_dbscan
+
+            labels, _core = grid_dbscan(
+                xyz, keep, cp.eps, cp.min_points,
+                max_cells=cp.max_cells, min_cell_points=cp.min_cell_points,
+            )
+        else:
+            labels, _core = dbscan(xyz, keep, cp.eps, cp.min_points)
         stats = cluster_obb_stats(
             xyz,
             labels,
