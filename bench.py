@@ -67,7 +67,8 @@ def main():
     # monolithic graph overruns the compile helper's memory cap.
     def frontend(xyz, mask):
         ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
-            xyz, mask, params, max_cells=8192, min_cell_points=3
+            xyz, mask, params, max_cells=8192, min_cell_points=3,
+            geometric_voxels=True,
         )
         stats = cluster_obb_stats(
             ds_xyz, labels, keep, max_clusters=params.max_clusters,

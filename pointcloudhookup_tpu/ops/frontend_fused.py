@@ -37,7 +37,9 @@ from pointcloudhookup_tpu.ops.segments import segmented_scan
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "max_cells", "min_cell_points", "cell_shift"),
+    static_argnames=(
+        "params", "max_cells", "min_cell_points", "cell_shift", "geometric_voxels"
+    ),
 )
 def fused_downsample_ground_cluster(
     xyz,
@@ -48,6 +50,7 @@ def fused_downsample_ground_cluster(
     min_cell_points: int = 2,
     cell_shift: int = 5,
     voxel_size: float = 0.1,
+    geometric_voxels: bool = False,
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
     clustering.
@@ -55,6 +58,11 @@ def fused_downsample_ground_cluster(
     Returns (ds_xyz f32[N,3] voxel centroids at run-start rows,
     ds_mask bool[N] kept-above-ground voxels, labels i32[N] compact
     cluster ids at those rows / -1, base_height scalar).
+
+    geometric_voxels=True replaces per-voxel centroids with geometric
+    voxel centers (Morton-decoded, pure elementwise): downstream
+    positions quantize to voxel_size/2 but the expensive [N,4]
+    segmented centroid scan reduces to a 1-column occupancy scan.
     """
     n = xyz.shape[0]
     m = max_cells
@@ -64,22 +72,36 @@ def fused_downsample_ground_cluster(
     big = jnp.float32(3.0e38)
     shift3k = 3 * cell_shift
 
-    # ---- Morton keys + ONE sort carrying coordinates
+    # ---- Morton keys + ONE sort.  Coordinates ride as payloads only
+    # when true centroids are needed; geometric mode sorts 3 operands.
     mn = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
     v = jnp.floor((xyz - mn) / voxel_size).astype(jnp.int32)
     hi, lo = morton_encode(v[:, 0], v[:, 1], v[:, 2])
     hi = jnp.where(mask, hi, SENTINEL_HI)
     w_in = mask.astype(jnp.float32)
-    hi, lo, sx, sy, sz, w = lax.sort(
-        (hi, lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], w_in), num_keys=2
-    )
+    if geometric_voxels:
+        hi, lo, w = lax.sort((hi, lo, w_in), num_keys=2)
+        sx = sy = sz = None
+    else:
+        hi, lo, sx, sy, sz, w = lax.sort(
+            (hi, lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], w_in), num_keys=2
+        )
 
     # ---- voxel runs -> centroids/counts at run-start rows
     v_start = ((hi != jnp.roll(hi, 1)) | (lo != jnp.roll(lo, 1))).at[0].set(True)
-    vals = jnp.stack([sx * w, sy * w, sz * w, w], axis=1)
-    vtot = segmented_scan(jnp.add, vals, v_start, reverse=True)
-    vcount = vtot[:, 3]
-    vcent = vtot[:, :3] / jnp.maximum(vcount, 1.0)[:, None]
+    if geometric_voxels:
+        from pointcloudhookup_tpu.ops.morton import morton_decode
+
+        vix, viy, viz = morton_decode(hi, lo)
+        vcent = (
+            jnp.stack([vix, viy, viz], axis=1).astype(jnp.float32) + 0.5
+        ) * voxel_size + mn[None, :]
+        vcount = segmented_scan(jnp.add, w, v_start, reverse=True)
+    else:
+        vals = jnp.stack([sx * w, sy * w, sz * w, w], axis=1)
+        vtot = segmented_scan(jnp.add, vals, v_start, reverse=True)
+        vcount = vtot[:, 3]
+        vcent = vtot[:, :3] / jnp.maximum(vcount, 1.0)[:, None]
     voxel_valid = v_start & (vcount > 0.0) & (hi != SENTINEL_HI)
 
     # ---- global ground percentile over voxel centroids
@@ -102,12 +124,12 @@ def fused_downsample_ground_cluster(
         c_lo = (lo >> shift3k) | ((hi & ((1 << shift3k) - 1)) << (30 - shift3k))
     c_start = ((c_hi != jnp.roll(c_hi, 1)) | (c_lo != jnp.roll(c_lo, 1))).at[0].set(True)
     kw = keep.astype(jnp.float32)
-    cvals = jnp.stack(
-        [vcent[:, 0] * kw, vcent[:, 1] * kw, vcent[:, 2] * kw, kw], axis=1
-    )
-    ctot = segmented_scan(jnp.add, cvals, c_start, reverse=True)
+    # cell population: 1-column reverse scan (totals at start rows) +
+    # forward max-broadcast.  Cell CENTERS need no scans at all: they
+    # decode geometrically from the Morton prefix at pack time (m rows).
+    ctot = segmented_scan(jnp.add, kw, c_start, reverse=True)
     ccount_row = segmented_scan(
-        jnp.maximum, jnp.where(c_start, ctot[:, 3], 0.0), c_start
+        jnp.maximum, jnp.where(c_start, ctot, 0.0), c_start
     )
     dense_row = ccount_row >= jnp.float32(min_cell_points)
 
@@ -121,8 +143,19 @@ def fused_downsample_ground_cluster(
         (pack_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )
     rows_m = jnp.clip(packed_rows[:m], 0, n - 1)
-    ccount = ctot[rows_m, 3]
-    ccent = ctot[rows_m, :3] / jnp.maximum(ccount, 1.0)[:, None]
+    ccount = ctot[rows_m]
+    from pointcloudhookup_tpu.ops.morton import morton_decode, shift_code
+
+    # (c_hi, c_lo) above keep hi UNSHIFTED (equality-only trick); decode
+    # needs the true shifted code — computed on the m packed rows only
+    d_hi, d_lo = shift_code(hi[rows_m], lo[rows_m], shift3k)
+    cix, ciy, ciz = morton_decode(d_hi, d_lo)
+    half_cell = float(1 << (cell_shift - 1)) if cell_shift > 0 else 0.5
+    ccent = (
+        jnp.stack([cix, ciy, ciz], axis=1).astype(jnp.float32)
+        * float(1 << cell_shift)
+        + half_cell
+    ) * voxel_size + mn[None, :]
     n_dense = jnp.sum((c_start & in_table).astype(jnp.int32))
     cell_alive = jnp.arange(m, dtype=jnp.int32) < n_dense
     ccount = jnp.where(cell_alive, ccount, 0.0)
@@ -174,10 +207,15 @@ def fused_downsample_ground_cluster(
     cell_labels = jnp.where(core_cell, cell_labels, jnp.where(cell_alive, border, m))
     cell_labels = compact_labels(cell_labels, jnp.int32(m))
 
-    # ---- per-voxel labels (one gather from the m-table)
-    labels = jnp.where(
-        keep & in_table, cell_labels[jnp.clip(pidx_row, 0, m - 1)], -1
+    # ---- per-voxel labels: deliver each packed cell's label to its
+    # start row (m-sized scatter — tiny) and forward-fill across the
+    # cell run (one segmented max scan).  An [N]-gather from the m-table
+    # costs ~3x this despite the monotone indices.
+    lab_at_start = jnp.full(n, -1, jnp.int32).at[rows_m].set(
+        jnp.where(cell_alive, cell_labels, -1), mode="drop"
     )
+    lab_row = segmented_scan(jnp.maximum, lab_at_start, c_start)
+    labels = jnp.where(keep & in_table, lab_row, -1)
     ds_xyz = jnp.where(voxel_valid[:, None], vcent, 0.0)
     return ds_xyz, keep, labels, base
 
@@ -189,13 +227,15 @@ def fused_extract_step(
     *,
     max_cells: int = 8192,
     min_cell_points: int = 2,
+    geometric_voxels: bool = False,
 ):
     """Full fused front-end + OBB + filters (the bench fast path)."""
     from pointcloudhookup_tpu.models.towers import filter_and_dedup
     from pointcloudhookup_tpu.ops.obb import cluster_obb_stats
 
     ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
-        xyz, mask, params, max_cells=max_cells, min_cell_points=min_cell_points
+        xyz, mask, params, max_cells=max_cells, min_cell_points=min_cell_points,
+        geometric_voxels=geometric_voxels,
     )
     stats = cluster_obb_stats(
         ds_xyz, labels, keep, max_clusters=params.max_clusters,

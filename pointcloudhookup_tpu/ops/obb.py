@@ -13,16 +13,14 @@ a dense grid of candidate orientations.
 TPU mapping (scatter-free, and gather-light):
   * points are sorted by cluster label ONCE, carrying coordinates as
     sort payloads (row gathers are expensive; sort payloads are not);
-  * per-cluster sums/counts come from one reverse segmented scan read at
-    each cluster's first row;
-  * cluster members are then densified into a [K, P] tensor (cluster k's
-    rows are contiguous after the sort, so this is one structured
-    gather), and the orientation scan becomes dense [K, P, At]
-    projections + masked min/max over P — plain VPU/MXU work with a
-    small compile footprint (the earlier segmented-scan formulation
-    OOM'd the XLA compile at corridor sizes);
-  * angle blocks stream through a lax.scan so peak memory is
-    [K, P, angle_tile].
+  * per-cluster counts fall out of searchsorted run bounds for free;
+  * cluster members are densified into a [K, P] tensor via K dynamic
+    SLICES (each cluster is one contiguous run after the sort), and
+    centroids/bounds/orientation scans become dense [K, P(, A)] masked
+    reductions — plain VPU work with a small compile footprint (a
+    segmented-scan formulation OOM'd the XLA compile at corridor sizes);
+  * the hierarchical angle search runs a 32-angle coarse pass plus a
+    17-sample refinement around each cluster's winner.
 
 `per_cluster_cap` bounds P; clusters with more members report the
 overflow count in 'overflow' instead of silently clipping.
@@ -40,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pointcloudhookup_tpu.ops.segments import boundary_flags, segmented_scan
+
 
 
 @functools.partial(
@@ -83,23 +81,13 @@ def cluster_obb_stats(
     lab_s, sx, sy, sz = lax.sort(
         (lab, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1
     )
-    w = (lab_s < k).astype(jnp.float32)
-    is_start = boundary_flags(lab_s)
-
     ar = jnp.arange(k, dtype=jnp.int32)
     lefts = jnp.searchsorted(lab_s, ar, side="left").astype(jnp.int32)
     rights = jnp.searchsorted(lab_s, ar, side="right").astype(jnp.int32)
     counts_i = rights - lefts
     alive = counts_i > 0
-    cl = jnp.clip(lefts, 0, n - 1)
-
-    # ---- counts / centroids: reverse segmented scan totals at first rows
-    vals = jnp.stack([sx * w, sy * w, sz * w, w], axis=1)
-    totals = segmented_scan(jnp.add, vals, is_start, reverse=True)
-    counts = jnp.where(alive, totals[cl, 3], 0.0)
-    centroid = jnp.where(
-        alive[:, None], totals[cl, :3] / jnp.maximum(counts, 1.0)[:, None], 0.0
-    )
+    # counts fall out of the searchsorted bounds for free
+    counts = counts_i.astype(jnp.float32)
     overflow = jnp.sum(jnp.maximum(counts_i - p, 0).astype(jnp.float32))
 
     # ---- densify: [K, P] member tensor.  Each cluster is a contiguous
@@ -116,6 +104,20 @@ def cluster_obb_stats(
     gx = take(sx)
     gy = take(sy)
     gz = take(sz)
+
+    # centroids from the member tensor (exact up to per_cluster_cap;
+    # clusters beyond the cap are flagged via 'overflow')
+    mw = member.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mw, axis=1), 1.0)
+    centroid = jnp.stack(
+        [
+            jnp.sum(gx * mw, axis=1) / denom,
+            jnp.sum(gy * mw, axis=1) / denom,
+            jnp.sum(gz * mw, axis=1) / denom,
+        ],
+        axis=1,
+    )
+    centroid = jnp.where(alive[:, None], centroid, 0.0)
 
     # ---- hierarchical angle search for the min-area XY rectangle:
     # a coarse pass over [0, pi/2) picks each cluster's basin, a refine

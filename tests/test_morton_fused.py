@@ -98,3 +98,22 @@ def test_fused_ground_base_matches_percentile(corridor):
     # labels only on kept voxel rows
     lab = np.asarray(labels)
     assert (lab[~np.asarray(keep)] == -1).all()
+
+def test_fused_geometric_voxels_mode(corridor):
+    import jax.numpy as jnp
+
+    pts, centers = corridor
+    origin = pts.mean(axis=0)
+    xyz, mask = pad_points((pts - origin).astype(np.float32), 8192)
+    out = fused_extract_step(
+        jnp.asarray(xyz), jnp.asarray(mask), _params(),
+        max_cells=2048, min_cell_points=1, geometric_voxels=True,
+    )
+    accepted = np.asarray(out["accepted"])
+    assert accepted.sum() == len(centers)
+    got = np.asarray(out["center"])[accepted] + origin
+    want = np.array(sorted(centers[:, :2].tolist()))
+    # geometric voxel centers quantize positions by <= voxel/2
+    np.testing.assert_allclose(
+        np.array(sorted(got[:, :2].tolist())), want, atol=2.5
+    )
