@@ -70,13 +70,30 @@ def filter_and_dedup(stats: dict, fp: TowerFilterParams = TowerFilterParams()):
     k = centers.shape[0]
     thr2 = jnp.square(jnp.float32(fp.duplicate_threshold))
 
-    def body(acc, i):
-        d2 = jnp.sum(jnp.square(centers - centers[i]), axis=1)
-        dup = jnp.any(acc & (d2 < thr2))
-        take = ok[i] & ~dup
-        return acc.at[i].set(take), take
+    # Greedy dedup as a Jacobi fixpoint instead of a K-step sequential
+    # scan: accepted[i] = ok[i] and no EARLIER accepted cluster within
+    # the radius.  Iterating from accepted=ok converges to the greedy
+    # solution in (conflict-chain depth) steps — one [K,K] matrix op per
+    # step instead of K tiny sequential ones.
+    d2 = jnp.sum(
+        jnp.square(centers[:, None, :] - centers[None, :, :]), axis=-1
+    )
+    earlier_conflict = (
+        (d2 < thr2)
+        & (jnp.arange(k)[None, :] < jnp.arange(k)[:, None])
+        & ok[None, :]
+    )
 
-    accepted, _ = jax.lax.scan(body, jnp.zeros(k, bool), jnp.arange(k))
+    def body(state):
+        acc, _, it = state
+        new = ok & ~jnp.any(earlier_conflict & acc[None, :], axis=1)
+        return new, jnp.any(new != acc), it + 1
+
+    accepted, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < k),
+        body,
+        (ok, jnp.bool_(True), jnp.int32(0)),
+    )
     return accepted
 
 

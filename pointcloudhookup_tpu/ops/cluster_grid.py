@@ -181,7 +181,9 @@ def grid_dbscan(
         new = jnp.where(
             core_cell, jnp.minimum(labels, neighbor_min(labels, core_cell)), labels
         )
-        for _ in range(2):
+        # 4 pointer-jump hops per round: m-sized gathers are ~free next
+        # to an O(M^2) kernel pass, and each halving of rounds saves one
+        for _ in range(4):
             new = jnp.where(
                 core_cell, jnp.minimum(new, new[jnp.clip(new, 0, m - 1)]), new
             )

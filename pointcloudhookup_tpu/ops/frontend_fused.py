@@ -104,9 +104,16 @@ def fused_downsample_ground_cluster(
         vcent = vtot[:, :3] / jnp.maximum(vcount, 1.0)[:, None]
     voxel_valid = v_start & (vcount > 0.0) & (hi != SENTINEL_HI)
 
-    # ---- global ground percentile over voxel centroids
-    vz = jnp.where(voxel_valid, vcent[:, 2], jnp.inf)
-    base = masked_percentile(vz, voxel_valid, gp.percentile)
+    # ---- global ground percentile over voxel centroids.  In geometric
+    # (fast) mode, a strided sample suffices: rows are Morton-sorted, so
+    # every 16th row is a spatially stratified sample (~cm quantile
+    # error at corridor scale) and the percentile sort shrinks 16x.
+    if geometric_voxels:
+        vz_s = jnp.where(voxel_valid, vcent[:, 2], jnp.inf)[::16]
+        base = masked_percentile(vz_s, voxel_valid[::16], gp.percentile)
+    else:
+        vz = jnp.where(voxel_valid, vcent[:, 2], jnp.inf)
+        base = masked_percentile(vz, voxel_valid, gp.percentile)
     keep = voxel_valid & (vcent[:, 2] > base + gp.offset)
     n_keep = jnp.sum(keep.astype(jnp.int32))
     keep = lax.cond(
@@ -128,21 +135,22 @@ def fused_downsample_ground_cluster(
     # forward max-broadcast.  Cell CENTERS need no scans at all: they
     # decode geometrically from the Morton prefix at pack time (m rows).
     ctot = segmented_scan(jnp.add, kw, c_start, reverse=True)
-    ccount_row = segmented_scan(
-        jnp.maximum, jnp.where(c_start, ctot, 0.0), c_start
-    )
-    dense_row = ccount_row >= jnp.float32(min_cell_points)
+    # density only needs deciding at START rows — the label forward-fill
+    # below never leaks labels into undense cells, so no per-row
+    # broadcast scan is required
+    dense_start = c_start & (ctot >= jnp.float32(min_cell_points))
 
     # packed cell index per row
-    pidx_row = jnp.cumsum((c_start & dense_row).astype(jnp.int32)) - 1
-    in_table = dense_row & (pidx_row < m)
+    pidx_row = jnp.cumsum(dense_start.astype(jnp.int32)) - 1
 
-    # ---- pack the dense-cell table (2-operand sort + m gathers)
-    pack_key = jnp.where(c_start & in_table, pidx_row, m)
-    _, packed_rows = lax.sort(
-        (pack_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-    )
-    rows_m = jnp.clip(packed_rows[:m], 0, n - 1)
+    # ---- pack the dense-cell table.  pidx_row is non-decreasing and
+    # increments exactly at dense starts, so packed cell j's start row is
+    # simply the first row with value j: m binary searches, no sort.
+    rows_m = jnp.clip(
+        jnp.searchsorted(pidx_row, jnp.arange(m, dtype=jnp.int32), side="left"),
+        0,
+        n - 1,
+    ).astype(jnp.int32)
     ccount = ctot[rows_m]
     from pointcloudhookup_tpu.ops.morton import morton_decode, shift_code
 
@@ -156,7 +164,7 @@ def fused_downsample_ground_cluster(
         * float(1 << cell_shift)
         + half_cell
     ) * voxel_size + mn[None, :]
-    n_dense = jnp.sum((c_start & in_table).astype(jnp.int32))
+    n_dense = jnp.sum(jnp.minimum(dense_start.astype(jnp.int32), 1))
     cell_alive = jnp.arange(m, dtype=jnp.int32) < n_dense
     ccount = jnp.where(cell_alive, ccount, 0.0)
     centers = jnp.where(cell_alive[:, None], ccent, big)
@@ -187,14 +195,32 @@ def fused_downsample_ground_cluster(
         _, lmin = _reduce(labels, jnp.zeros(m, jnp.float32), allowed)
         return lmin
 
-    labels0 = jnp.where(core_cell, jnp.arange(m, dtype=jnp.int32), m)
+    # seed labels with a 1-D pre-merge: the table is Morton-ordered, so
+    # many clusters are contiguous runs of eps-adjacent cells — union
+    # them with one m-scale segmented min scan, leaving the kernel loop
+    # only the cross-run links (fewer O(M^2) iterations)
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+    adj_prev = (
+        core_cell
+        & jnp.roll(core_cell, 1)
+        & (jnp.sum((centers - jnp.roll(centers, 1, axis=0)) ** 2, axis=1) <= eps2)
+    ).at[0].set(False)
+    run_start = core_cell & ~adj_prev
+    from pointcloudhookup_tpu.ops.segments import segmented_scan as _segscan
+
+    run_rep = _segscan(
+        jnp.minimum, jnp.where(run_start, iota_m, m), run_start | ~core_cell
+    )
+    labels0 = jnp.where(core_cell, jnp.minimum(iota_m, run_rep), m)
 
     def step(state):
         labels, _, it = state
         new = jnp.where(
             core_cell, jnp.minimum(labels, neighbor_min(labels, core_cell)), labels
         )
-        for _ in range(2):
+        # 4 pointer-jump hops per round: m-sized gathers are ~free next
+        # to an O(M^2) kernel pass, and each halving of rounds saves one
+        for _ in range(4):
             new = jnp.where(
                 core_cell, jnp.minimum(new, new[jnp.clip(new, 0, m - 1)]), new
             )
@@ -215,7 +241,7 @@ def fused_downsample_ground_cluster(
         jnp.where(cell_alive, cell_labels, -1), mode="drop"
     )
     lab_row = segmented_scan(jnp.maximum, lab_at_start, c_start)
-    labels = jnp.where(keep & in_table, lab_row, -1)
+    labels = jnp.where(keep & (lab_row >= 0), lab_row, -1)
     ds_xyz = jnp.where(voxel_valid[:, None], vcent, 0.0)
     return ds_xyz, keep, labels, base
 
