@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 TARGET_MPTS = 200.0
-N_POINTS = 2 * 1024 * 1024  # 2M-point tile
+N_POINTS = 4 * 1024 * 1024  # 4M-point tile
 WARMUP = 2
 ITERS = 8
 
@@ -72,7 +72,7 @@ def main():
         )
         stats = cluster_obb_stats(
             ds_xyz, labels, keep, max_clusters=params.max_clusters,
-            num_angles=params.obb_angles,
+            num_angles=params.obb_angles, per_cluster_cap=8192,
         )
         accepted = filter_and_dedup(stats, params.filters)
         return labels, stats, accepted, base
