@@ -251,8 +251,6 @@ def cmd_register(args):
 
 def cmd_run_all(args):
     """import pc -> compress -> extract -> import gim -> correct -> save."""
-    import os
-
     from pointcloudhookup_tpu.models import pipeline
 
     ds = args.las.rsplit(".", 1)[0] + "_ds.las"

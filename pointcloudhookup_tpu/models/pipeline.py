@@ -30,13 +30,12 @@ from pointcloudhookup_tpu.config import (
     ClusterParams,
     ExtractParams,
     GroundParams,
-    MatchParams,
     TowerFilterParams,
 )
 from pointcloudhookup_tpu.core.batch import round_up
 from pointcloudhookup_tpu.io.cbm import apply_corrections, load_towers_from_gim_folder
 from pointcloudhookup_tpu.io.gim import extract_gim, write_gim
-from pointcloudhookup_tpu.io.las import LasData, make_las, read_las, write_las
+from pointcloudhookup_tpu.io.las import make_las, read_las, write_las
 from pointcloudhookup_tpu.models.towers import Tower, extract_step, towers_from_stats
 from pointcloudhookup_tpu.ops.geo import (
     GeoidGrid,

@@ -22,7 +22,6 @@ the surviving fragment is the largest, with counts accumulated.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ plus the KNOWN_TOWERS ground-truth hook from
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
