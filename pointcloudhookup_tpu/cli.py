@@ -13,12 +13,6 @@ import json
 import sys
 
 
-def _echo_reporter():
-    from pointcloudhookup_tpu.utils.logging import Reporter
-
-    return Reporter(None, None, echo=True)
-
-
 def cmd_import_pc(args):
     from pointcloudhookup_tpu.io.las import read_las
 
