@@ -1,0 +1,80 @@
+"""CLI wiring smoke tests through main(argv) — the same surface the
+shell uses."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pointcloudhookup_tpu.cli import main
+from pointcloudhookup_tpu.io.las import make_las, write_las
+from pointcloudhookup_tpu.io.synthetic import build_synthetic_gim, synthetic_corridor
+from pointcloudhookup_tpu.ops.geo import tm_forward, tm_inverse
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(3)
+    e0, n0 = (float(v) for v in tm_forward(113.5, 28.2, xp=np))
+    pts, centers = synthetic_corridor(
+        rng, n_ground=2500, n_veg=400, pts_per_tower=350, extent=200.0,
+        origin=(e0, n0, 80.0),
+    )
+    las = str(tmp / "c.las")
+    write_las(make_las(pts, scales=[0.01, 0.01, 0.01]), las)
+    gts = []
+    for i, c in enumerate(centers):
+        lon, lat = tm_inverse(c[0], c[1], xp=np)
+        gts.append(dict(id=f"P{i}", lat=float(lat), lng=float(lon), h=float(c[2]) - 25.0, r=5.0))
+    gim = str(tmp / "c.gim")
+    build_synthetic_gim(gim, gts, workdir=str(tmp / "tree"))
+    return tmp, las, gim, centers
+
+
+def test_cli_import_pc(workspace, capsys):
+    tmp, las, gim, centers = workspace
+    main(["import-pc", las])
+    info = json.loads(capsys.readouterr().out)
+    assert info["points"] > 3000 and info["point_format"] == 0
+
+
+def test_cli_import_gim(workspace, capsys, tmp_path):
+    tmp, las, gim, centers = workspace
+    main(["import-gim", gim, "--output-folder", str(tmp_path / "o"),
+          "--table", str(tmp_path / "t.csv")])
+    out = capsys.readouterr().out
+    assert "P0" in out and "parsed 3 towers" in out
+    assert (tmp_path / "t.csv").exists()
+
+
+def test_cli_compress_and_extract(workspace, capsys, tmp_path):
+    tmp, las, gim, centers = workspace
+    ds = str(tmp_path / "ds.las")
+    main(["compress", las, ds, "--voxel-size", "0.1"])
+    assert "points written" in capsys.readouterr().out
+    main(["extract", ds, "--eps", "5", "--min-points", "30"])
+    out = capsys.readouterr().out
+    assert out.count("tower_") == len(centers)
+
+
+def test_cli_correct_save(workspace, capsys, tmp_path):
+    tmp, las, gim, centers = workspace
+    out_gim = str(tmp_path / "corrected.gim")
+    main(["correct", gim, las, "--eps", "5", "--min-points", "30",
+          "--output-folder", str(tmp_path / "og"),
+          "--save", out_gim, "--csv", str(tmp_path / "r.csv"),
+          "--html", str(tmp_path / "r.html")])
+    out = capsys.readouterr().out
+    assert f"{len(centers)} pairs matched" in out
+    assert "saved" in out
+    assert (tmp_path / "r.html").exists()
+    import os
+
+    assert os.path.getsize(out_gim) > 776
+
+
+def test_cli_missing_file_exit_code(workspace):
+    with pytest.raises(SystemExit) as e:
+        main(["import-pc", "nonexistent.las"])
+    assert e.value.code == 2
