@@ -226,11 +226,14 @@ class GeoidGrid:
     values: Any  # f32[nlat, nlon]
 
     def interp(self, lat_deg, lon_deg, xp: Any = jnp):
-        """Bilinear undulation N(lat, lon) in meters (clamped at edges)."""
+        """Bilinear undulation N(lat, lon) in meters (clamped at the lat
+        edges; longitude wraps into the grid's 360-degree window so both
+        -180..180 and 0..360 conventions work on global grids)."""
         vals = self.values if xp is jnp else np.asarray(self.values)
         nlat, nlon = vals.shape
         fi = (xp.asarray(lat_deg) - self.lat0) / self.dlat
-        fj = (xp.asarray(lon_deg) - self.lon0) / self.dlon
+        lon = xp.mod(xp.asarray(lon_deg) - self.lon0, 360.0) + self.lon0
+        fj = (lon - self.lon0) / self.dlon
         fi = xp.clip(fi, 0.0, nlat - 1.000001)
         fj = xp.clip(fj, 0.0, nlon - 1.000001)
         i0 = xp.floor(fi).astype(xp.int32)

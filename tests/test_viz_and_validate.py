@@ -158,3 +158,13 @@ def test_known_towers_check():
     res = check_against_known_towers(det, [(1.0, 0.0), (101.0, 0.0), (300.0, 0.0)])
     assert res["hits"] == 2 and res["misses"] == 1 and res["extra"] == 1
     assert all(e < 2.0 for e in res["errors"])
+
+
+def test_geoid_longitude_wrapping():
+    # global grid anchored at -180: 0..360 longitudes must wrap
+    lon = np.linspace(-180, 179.75, 1440)
+    vals = np.tile(np.linspace(0, 100, 1440), (721, 1)).astype(np.float32)
+    g = GeoidGrid(-90.0, -180.0, 0.25, 0.25, vals)
+    west74 = float(g.interp(40.0, -74.0, np))
+    east286 = float(g.interp(40.0, 286.0, np))
+    assert abs(west74 - east286) < 1e-4
