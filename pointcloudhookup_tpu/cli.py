@@ -210,8 +210,20 @@ def cmd_register(args):
     from pointcloudhookup_tpu.models import pipeline
     from pointcloudhookup_tpu.ops.registration import register_tower_pairs
 
+    from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
+    from pointcloudhookup_tpu.models.pipeline import extract_from_points
+
     records, folder, _ = pipeline.import_gim(args.gim, args.output_folder)
-    towers = pipeline.extract(args.las, log_callback=print, eps=args.eps, min_points=args.min_points)
+    # ONE extraction produces both the tower list and the per-point
+    # labels, so labels == t.label selects exactly t's cluster even with
+    # non-default eps/min_points.
+    las = read_las(args.las)
+    pts = las.xyz()
+    params = ExtractParams(
+        cluster=ClusterParams(eps=args.eps, min_points=args.min_points)
+    )
+    towers, stats, origin = extract_from_points(pts, params)
+    print(f"extraction complete: {len(towers)} towers")
     res = pipeline.match(records, towers, region_n_value=args.region_n_value)
     if not res.pairs:
         print("no matched pairs to register")
@@ -219,11 +231,6 @@ def cmd_register(args):
     # source: tower points from the LAS; target: synthetic pylon frame at
     # the GIM position (no geometry in GIM text model -> use the matched
     # tower's own box frame displaced to the GIM location)
-    las = read_las(args.las)
-    pts = las.xyz()
-    from pointcloudhookup_tpu.models.pipeline import extract_from_points
-
-    _, stats, origin = extract_from_points(pts)
     labels = stats["labels"][: len(pts)]
     pc_clouds, gim_clouds = [], []
     from pointcloudhookup_tpu.ops.geo import wgs84_to_cgcs2000
@@ -236,9 +243,10 @@ def cmd_register(args):
         pc_clouds.append((pts[labels == t.label] - gim_center).astype(np.float32))
         gim_clouds.append(cloud.astype(np.float32))
     out = register_tower_pairs(pc_clouds, gim_clouds, iters=args.iters)
-    for (gi, pi), r in zip(res.pairs, out):
+    for (gi, pi), cloud, r in zip(res.pairs, pc_clouds, out):
         print(
-            f"GIM[{gi}] <- PC[{pi}]: t=({r['t'][0]:+.2f},{r['t'][1]:+.2f},{r['t'][2]:+.2f}) "
+            f"GIM[{gi}] <- PC[{pi}]: n={len(cloud)} "
+            f"t=({r['t'][0]:+.2f},{r['t'][1]:+.2f},{r['t'][2]:+.2f}) "
             f"rmse={r['rmse']:.3f} inliers={r['inlier_frac']:.0%}"
         )
 

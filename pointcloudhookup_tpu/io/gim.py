@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-from pointcloudhookup_tpu.io.sevenzip import Entry, pack_directory, read_7z
+from pointcloudhookup_tpu.io.sevenzip import Entry, pack_directory, read_7z, safe_join
 
 HEADER_SIZE = 776
 
@@ -43,7 +43,7 @@ def extract_gim(gim_path: str, output_folder: str = "output") -> tuple[str, byte
     target = os.path.join(output_folder, name)
     os.makedirs(target, exist_ok=True)
     for e in gim.entries:
-        p = os.path.join(target, e.name)
+        p = safe_join(target, e.name)
         if e.is_dir:
             os.makedirs(p, exist_ok=True)
             continue

@@ -21,6 +21,7 @@ import dataclasses
 import io
 import lzma
 import os
+import re
 import struct
 import zlib
 from typing import BinaryIO, Iterable, Optional
@@ -666,11 +667,26 @@ def pack_directory(folder: str, level: int = 1, store: bool = False) -> bytes:
     return write_7z(entries, level=level, store=store)
 
 
+def safe_join(out_dir: str, name: str) -> str:
+    """Join an archive entry name to out_dir, rejecting absolute paths,
+    drive letters, and '..' escapes (zip-slip).  Archive entries are
+    untrusted external input (.gim files come from third parties)."""
+    norm = name.replace("\\", "/")
+    if norm.startswith("/") or re.match(r"^[A-Za-z]:", norm):
+        raise ValueError(f"unsafe absolute archive entry name: {name!r}")
+    base = os.path.realpath(out_dir)
+    target = os.path.realpath(os.path.join(base, norm))
+    if target != base and not target.startswith(base + os.sep):
+        raise ValueError(f"archive entry escapes extraction dir: {name!r}")
+    return target
+
+
 def extract_to_directory(data: bytes, out_dir: str) -> list[str]:
     """Extract an archive to a directory; returns written paths."""
     written = []
+    os.makedirs(out_dir, exist_ok=True)
     for e in read_7z(data):
-        target = os.path.join(out_dir, e.name)
+        target = safe_join(out_dir, e.name)
         if e.is_dir:
             os.makedirs(target, exist_ok=True)
             continue

@@ -227,12 +227,17 @@ class GeoidGrid:
 
     def interp(self, lat_deg, lon_deg, xp: Any = jnp):
         """Bilinear undulation N(lat, lon) in meters (clamped at the lat
-        edges; longitude wraps into the grid's 360-degree window so both
-        -180..180 and 0..360 conventions work on global grids)."""
+        edges).  On GLOBAL grids (nlon*dlon spans ~360 deg) longitude is
+        wrapped into the grid window so -180..180 and 0..360 conventions
+        both work; on regional grids queries clip in the grid's native
+        window (wrapping would map points just west of lon0 to the far
+        east edge)."""
         vals = self.values if xp is jnp else np.asarray(self.values)
         nlat, nlon = vals.shape
         fi = (xp.asarray(lat_deg) - self.lat0) / self.dlat
-        lon = xp.mod(xp.asarray(lon_deg) - self.lon0, 360.0) + self.lon0
+        lon = xp.asarray(lon_deg)
+        if nlon * self.dlon >= 360.0 - 1e-6:
+            lon = xp.mod(lon - self.lon0, 360.0) + self.lon0
         fj = (lon - self.lon0) / self.dlon
         fi = xp.clip(fi, 0.0, nlat - 1.000001)
         fj = xp.clip(fj, 0.0, nlon - 1.000001)

@@ -106,12 +106,20 @@ def _merge_fragments(stats, merge_radius):
     # group count sums; representative = fragment with max count in group
     grp = jnp.where(alive, rep, k)
     total = jax.ops.segment_sum(counts, grp, num_segments=k + 1)[:k]
-    # "is this fragment the argmax-count member of its group?"
-    order = counts - jnp.arange(k, dtype=jnp.float32) * 1e-7  # tie-break by index
-    grp_max = jax.ops.segment_max(
-        jnp.where(alive, order, -jnp.inf), grp, num_segments=k + 1
+    # "is this fragment the argmax-count member of its group?"  Integer
+    # tie-break (equal counts -> lowest fragment index): a float epsilon
+    # (counts - i*1e-7) is below f32 resolution once counts exceed a few
+    # hundred and would keep BOTH tied members alive.
+    ci = counts.astype(jnp.int32)
+    idx = jnp.arange(k, dtype=jnp.int32)
+    grp_maxc = jax.ops.segment_max(
+        jnp.where(alive, ci, -1), grp, num_segments=k + 1
     )[:k]
-    is_rep = alive & (order >= grp_max[jnp.clip(rep, 0, k - 1)])
+    is_max = alive & (ci == grp_maxc[jnp.clip(rep, 0, k - 1)])
+    grp_min_idx = jax.ops.segment_min(
+        jnp.where(is_max, idx, k), grp, num_segments=k + 1
+    )[:k]
+    is_rep = is_max & (idx == grp_min_idx[jnp.clip(rep, 0, k - 1)])
     merged = dict(stats)
     merged["count"] = jnp.where(is_rep, total[jnp.clip(rep, 0, k - 1)], 0.0)
     merged["alive"] = is_rep

@@ -78,3 +78,26 @@ def test_cli_missing_file_exit_code(workspace):
     with pytest.raises(SystemExit) as e:
         main(["import-pc", "nonexistent.las"])
     assert e.value.code == 2
+
+
+def test_cli_register_nondefault_eps(workspace, capsys, tmp_path):
+    """register must cut tower clouds with the SAME clustering it used to
+    produce the tower list: with non-default eps/min_points, each pair's
+    cloud size must equal the matched tower's num_points (round-1 bug:
+    labels came from a second default-params extraction)."""
+    import re
+
+    from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
+    from pointcloudhookup_tpu.io.las import read_las
+    from pointcloudhookup_tpu.models.pipeline import extract_from_points
+
+    tmp, las, gim, centers = workspace
+    main(["register", gim, las, "--eps", "5", "--min-points", "30",
+          "--output-folder", str(tmp_path / "o"), "--iters", "5"])
+    out = capsys.readouterr().out
+    rows = re.findall(r"PC\[(\d+)\]: n=(\d+)", out)
+    assert rows, out
+    params = ExtractParams(cluster=ClusterParams(eps=5.0, min_points=30))
+    towers, _, _ = extract_from_points(read_las(las).xyz(), params)
+    for pi, n in rows:
+        assert int(n) == towers[int(pi)].num_points

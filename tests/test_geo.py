@@ -125,3 +125,18 @@ def test_geoid_interp_and_fallback():
     assert abs(h - (100.0 - n)) < 1e-3
     # fallback empirical N (ref default 25 m)
     assert float(ellipsoid_to_orthometric(0, 0, 100.0, None, xp=np)) == 75.0
+
+
+def test_geoid_regional_grid_clips_west_queries():
+    """On a REGIONAL grid, a query just west of lon0 must clip to the
+    west edge, not wrap 360 degrees to the east edge."""
+    import numpy as np
+
+    vals = np.tile(np.arange(6, dtype=np.float32), (5, 1))  # N == lon index
+    grid = GeoidGrid(lat0=20.0, lon0=110.0, dlat=1.0, dlon=1.0, values=jnp.asarray(vals))
+    west = float(grid.interp(22.0, 109.0))
+    assert abs(west - 0.0) < 1e-5  # west edge, NOT ~5 (east edge)
+    # global grid still wraps both conventions
+    gvals = np.tile(np.arange(360, dtype=np.float32), (5, 1))
+    gglob = GeoidGrid(lat0=-2.0, lon0=0.0, dlat=1.0, dlon=1.0, values=jnp.asarray(gvals))
+    assert abs(float(gglob.interp(0.0, -10.0)) - 350.0) < 1e-4

@@ -104,3 +104,32 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_merge_fragments_equal_count_tiebreak():
+    """Two equal-count fragments in one merge group must yield exactly
+    ONE representative (f32-epsilon tie-breaks fail above ~a few hundred
+    counts); the survivor carries the accumulated count."""
+    from pointcloudhookup_tpu.parallel.sharded import _merge_fragments
+
+    k = 8
+    lo = np.full((k, 3), 1e9, np.float32)
+    hi = np.full((k, 3), 1e9, np.float32)
+    # fragments 2 and 5: same AABB, equal large counts
+    lo[2] = lo[5] = [0.0, 0.0, 0.0]
+    hi[2] = hi[5] = [10.0, 10.0, 40.0]
+    counts = np.zeros(k, np.float32)
+    counts[2] = counts[5] = 4097.0
+    alive = np.zeros(k, bool)
+    alive[2] = alive[5] = True
+    stats = {
+        "count": jnp.asarray(counts),
+        "alive": jnp.asarray(alive),
+        "aabb_min": jnp.asarray(lo),
+        "aabb_max": jnp.asarray(hi),
+    }
+    merged = jax.jit(lambda s: _merge_fragments(s, 6.0))(stats)
+    alive_out = np.asarray(merged["alive"])
+    assert alive_out.sum() == 1
+    assert alive_out[2]  # lowest index wins the tie
+    assert float(np.asarray(merged["count"])[2]) == 8194.0

@@ -125,3 +125,19 @@ def test_7z_reads_lzma1_folder():
     back = read_7z(blob)
     assert back[0].name == "a.txt"
     assert back[0].data == payload
+
+
+def test_zip_slip_rejected(tmp_path):
+    """Entry names escaping the extraction dir must be rejected
+    (crafted .gim/7z inputs are untrusted external data)."""
+    from pointcloudhookup_tpu.io.sevenzip import (
+        Entry,
+        extract_to_directory,
+        write_7z,
+    )
+
+    for bad in ["../evil.txt", "/abs/evil.txt", "a/../../evil.txt", "C:/evil.txt"]:
+        blob = write_7z([Entry(name=bad, data=b"x")])
+        with pytest.raises(ValueError):
+            extract_to_directory(blob, str(tmp_path / "out"))
+    assert not (tmp_path / "evil.txt").exists()
