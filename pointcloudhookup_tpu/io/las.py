@@ -7,7 +7,8 @@ Scaled-integer semantics match laspy/the LAS spec: world = record * scale
 (/root/reference/ui/import_PC.py:35-41,
 /root/reference/utils/tower_extraction.py:243-257), and so do we.
 
-LAZ (compressed) is not supported — raise a clear error.
+LAZ (compressed) files route through io/laz.py + the native LASzip
+codec (native/laz_codec.cpp) transparently in read_las.
 """
 
 from __future__ import annotations
@@ -101,7 +102,10 @@ def read_las(path) -> LasData:
     header_size, point_offset, num_vlrs = struct.unpack_from("<HII", data, 94)
     fmt_raw = data[104]
     if fmt_raw & 0x80:
-        raise ValueError("LAZ (compressed LAS) is not supported; decompress first")
+        # LAZ: chunked-arithmetic LASzip payload (native codec)
+        from pointcloudhookup_tpu.io.laz import read_laz_bytes
+
+        return read_laz_bytes(data, str(path))
     fmt = fmt_raw & 0x3F
     if fmt not in POINT_DTYPES:
         raise ValueError(f"unsupported point format {fmt}")

@@ -1,0 +1,266 @@
+"""LAZ (LASzip-compressed LAS) container support.
+
+The reference accepts LAS/LAZ via laspy (/root/reference/
+pyGUI_towers_test.py:144-197).  Here the chunked arithmetic point codec
+lives in native/laz_codec.cpp (built on first use via ctypes); this
+module handles the container plumbing: the LASzip VLR (user id
+"laszip encoded", record 22204), the 8-byte chunk-table pointer at the
+start of the point-data section, and LasData assembly.
+
+Supported: point formats 0-3 (POINT10 + GPSTIME11 + RGB12, item v2,
+compressor 2 = chunked, coder 0 = arithmetic).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pointcloudhookup_tpu.io.las import POINT_DTYPES, LasData
+
+LASZIP_USER_ID = b"laszip encoded\x00\x00"
+LASZIP_RECORD_ID = 22204
+DEFAULT_CHUNK_SIZE = 50000
+
+_ITEM_POINT10 = 6
+_ITEM_GPSTIME11 = 7
+_ITEM_RGB12 = 8
+
+_FMT_ITEMS = {
+    0: [(_ITEM_POINT10, 20)],
+    1: [(_ITEM_POINT10, 20), (_ITEM_GPSTIME11, 8)],
+    2: [(_ITEM_POINT10, 20), (_ITEM_RGB12, 6)],
+    3: [(_ITEM_POINT10, 20), (_ITEM_GPSTIME11, 8), (_ITEM_RGB12, 6)],
+}
+
+
+def _codec():
+    from pointcloudhookup_tpu.native import get_laz_lib
+
+    lib = get_laz_lib()
+    if lib is None:
+        raise RuntimeError(
+            "LAZ support needs the native codec (g++ unavailable?); "
+            "decompress the file externally or install a compiler"
+        )
+    return lib
+
+
+def build_laszip_vlr(point_format: int, chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
+    """The LASzip VLR (54-byte header + record payload)."""
+    items = _FMT_ITEMS[point_format]
+    payload = struct.pack(
+        "<HHBBHIIqqH",
+        2,  # compressor: chunked
+        0,  # coder: arithmetic
+        2,  # version major
+        4,  # version minor
+        0,  # revision
+        0,  # options
+        chunk_size,
+        -1,  # number of special evlrs
+        -1,  # offset of special evlrs
+        len(items),
+    )
+    for typ, size in items:
+        payload += struct.pack("<HHH", typ, size, 2)
+    header = struct.pack("<H16sHH32s", 0, LASZIP_USER_ID, LASZIP_RECORD_ID,
+                         len(payload), b"pointcloudhookup_tpu laz")
+    return header + payload
+
+
+def parse_laszip_vlr(vlr_bytes: bytes):
+    """Find + parse the LASzip VLR; returns dict or None."""
+    pos = 0
+    n = len(vlr_bytes)
+    while pos + 54 <= n:
+        user_id, record_id, length = struct.unpack_from("<16sHH", vlr_bytes, pos + 2)
+        body = vlr_bytes[pos + 54 : pos + 54 + length]
+        if user_id.rstrip(b"\x00") == b"laszip encoded" and record_id == LASZIP_RECORD_ID:
+            (compressor, coder, vmaj, vmin, rev, options, chunk_size, _evlrs,
+             _evlr_off, num_items) = struct.unpack_from("<HHBBHIIqqH", body, 0)
+            items = [
+                struct.unpack_from("<HHH", body, 34 + 6 * i) for i in range(num_items)
+            ]
+            return dict(
+                compressor=compressor,
+                coder=coder,
+                version=(vmaj, vmin, rev),
+                chunk_size=chunk_size,
+                items=items,
+            )
+        pos += 54 + length
+    return None
+
+
+def strip_laszip_vlr(vlr_bytes: bytes) -> tuple[bytes, int]:
+    """Remove the LASzip VLR; returns (rest, n_removed)."""
+    out = b""
+    removed = 0
+    pos = 0
+    n = len(vlr_bytes)
+    while pos + 54 <= n:
+        user_id, record_id, length = struct.unpack_from("<16sHH", vlr_bytes, pos + 2)
+        rec = vlr_bytes[pos : pos + 54 + length]
+        if user_id.rstrip(b"\x00") == b"laszip encoded" and record_id == LASZIP_RECORD_ID:
+            removed += 1
+        else:
+            out += rec
+        pos += 54 + length
+    return out, removed
+
+
+def decode_point_section(
+    data: bytes,
+    point_offset: int,
+    count: int,
+    fmt: int,
+    record_len: int,
+    chunk_size: int,
+) -> np.ndarray:
+    """Decode the LAZ point-data section of a raw .laz file image into
+    raw little-endian point records u8[count, record_len]."""
+    import ctypes
+
+    lib = _codec()
+    table_abs = struct.unpack_from("<q", data, point_offset)[0]
+    section = np.frombuffer(data, np.uint8, len(data) - point_offset - 8,
+                            point_offset + 8)
+    table_rel = table_abs - point_offset - 8
+    out = np.empty((count, record_len), np.uint8)
+    got = lib.laz_decode_points(
+        section.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        len(section),
+        table_rel,
+        count,
+        fmt,
+        chunk_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if got != count:
+        raise ValueError(f"LAZ decode failed (decoded {got} of {count} points)")
+    return out
+
+
+def encode_point_section(records: np.ndarray, fmt: int,
+                         chunk_size: int = DEFAULT_CHUNK_SIZE) -> tuple[bytes, int]:
+    """Compress raw point records u8[n, record_len]; returns
+    (section_bytes WITHOUT the table-offset field, table_rel)."""
+    import ctypes
+
+    lib = _codec()
+    records = np.ascontiguousarray(records, np.uint8)
+    n, record_len = records.shape
+    cap = int(n * record_len + (n // chunk_size + 2) * 64 + 4096)
+    out = np.empty(cap, np.uint8)
+    table_rel = ctypes.c_longlong()
+    size = lib.laz_encode_points(
+        records.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n,
+        fmt,
+        chunk_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        cap,
+        ctypes.byref(table_rel),
+    )
+    if size == -2:
+        # pathological expansion: retry with the worst-case cap
+        cap = int(n * record_len * 2 + (n // chunk_size + 2) * 64 + 65536)
+        out = np.empty(cap, np.uint8)
+        size = lib.laz_encode_points(
+            records.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            n, fmt, chunk_size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            cap, ctypes.byref(table_rel),
+        )
+    if size < 0:
+        raise ValueError(f"LAZ encode failed (rc={size})")
+    return out[:size].tobytes(), int(table_rel.value)
+
+
+def write_laz(las: LasData, path, chunk_size: int = DEFAULT_CHUNK_SIZE) -> None:
+    """Write a LasData as .laz (formats 0-3)."""
+    from pointcloudhookup_tpu.io.las import write_las
+
+    fmt = las.point_format
+    if fmt not in _FMT_ITEMS:
+        raise ValueError(f"LAZ write supports point formats 0-3, got {fmt}")
+    import io as _io
+    import os
+    import tempfile
+
+    # Build the uncompressed image first (reuses all header logic), then
+    # splice: fmt |= 0x80, append the LASzip VLR, replace point records
+    # with [table_offset i64][chunks][table].
+    fd, tmp = tempfile.mkstemp(suffix=".las")
+    os.close(fd)
+    try:
+        write_las(las, tmp)
+        with open(tmp, "rb") as f:
+            img = f.read()
+    finally:
+        os.unlink(tmp)
+    header_size, point_offset, num_vlrs = struct.unpack_from("<HII", img, 94)
+    record_len = struct.unpack_from("<H", img, 105)[0]
+    vlr = build_laszip_vlr(fmt, chunk_size)
+    records = np.frombuffer(
+        img, np.uint8, len(las.points) * record_len, point_offset
+    ).reshape(len(las.points), record_len)
+    section, table_rel = encode_point_section(records, fmt, chunk_size)
+
+    header = bytearray(img[:header_size])
+    header[104] = fmt | 0x80
+    new_point_offset = point_offset + len(vlr)
+    struct.pack_into("<HII", header, 94, header_size, new_point_offset,
+                     num_vlrs + 1)
+    table_abs = new_point_offset + 8 + table_rel
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(img[header_size:point_offset])  # existing VLRs
+        f.write(vlr)
+        f.write(struct.pack("<q", table_abs))
+        f.write(section)
+
+
+def read_laz_bytes(data: bytes, path_for_err: str = "<bytes>") -> LasData:
+    """Parse a raw .laz file image into LasData (decompressing points)."""
+    ver = (data[24], data[25])
+    header_size, point_offset, num_vlrs = struct.unpack_from("<HII", data, 94)
+    fmt_raw = data[104]
+    fmt = fmt_raw & 0x3F
+    if fmt not in _FMT_ITEMS:
+        raise ValueError(f"LAZ: unsupported point format {fmt} in {path_for_err!r}")
+    record_len = struct.unpack_from("<H", data, 105)[0]
+    count = struct.unpack_from("<I", data, 107)[0]
+    if ver >= (1, 4):
+        count64 = struct.unpack_from("<Q", data, 247)[0]
+        if count64:
+            count = count64
+    scales = np.frombuffer(data, "<f8", 3, 131).copy()
+    offsets = np.frombuffer(data, "<f8", 3, 155).copy()
+    vlr_bytes = data[header_size:point_offset]
+    info = parse_laszip_vlr(vlr_bytes)
+    if info is None:
+        raise ValueError(f"LAZ file without LASzip VLR: {path_for_err!r}")
+    if info["compressor"] != 2 or info["coder"] != 0:
+        raise ValueError(
+            f"unsupported LAZ compressor/coder {info['compressor']}/{info['coder']}"
+        )
+    raw = decode_point_section(
+        data, point_offset, count, fmt, record_len, info["chunk_size"]
+    )
+    dtype = POINT_DTYPES[fmt]
+    points = (
+        np.ascontiguousarray(raw[:, : dtype.itemsize]).view(dtype).reshape(count)
+    )
+    rest_vlrs, removed = strip_laszip_vlr(vlr_bytes)
+    return LasData(
+        points=points.copy(),
+        scales=scales,
+        offsets=offsets,
+        point_format=fmt,
+        version=ver,
+        vlr_bytes=rest_vlrs,
+        num_vlrs=max(num_vlrs - removed, 0),
+    )

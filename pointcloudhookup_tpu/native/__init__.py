@@ -19,15 +19,19 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "las_codec.cpp")
 _SO = os.path.join(_DIR, "las_codec.so")
+_LAZ_SRC = os.path.join(_DIR, "laz_codec.cpp")
+_LAZ_SO = os.path.join(_DIR, "laz_codec.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_laz_lib: Optional[ctypes.CDLL] = None
+_laz_tried = False
 
 
-def _build() -> bool:
+def _build(src: str = _SRC, so: str = _SO) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so],
             check=True,
             capture_output=True,
             timeout=120,
@@ -74,6 +78,47 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         _lib = lib
         return _lib
+
+
+def get_laz_lib() -> Optional[ctypes.CDLL]:
+    """The LAZ point codec (native/laz_codec.cpp), built on first use;
+    None when no compiler is available."""
+    global _laz_lib, _laz_tried
+    with _lock:
+        if _laz_lib is not None or _laz_tried:
+            return _laz_lib
+        _laz_tried = True
+        if not os.path.exists(_LAZ_SO) or os.path.getmtime(_LAZ_SO) < os.path.getmtime(
+            _LAZ_SRC
+        ):
+            if not _build(_LAZ_SRC, _LAZ_SO):
+                return None
+        try:
+            lib = ctypes.CDLL(_LAZ_SO)
+        except OSError:
+            return None
+        lib.laz_decode_points.restype = ctypes.c_longlong
+        lib.laz_decode_points.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.c_uint,
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        lib.laz_encode_points.restype = ctypes.c_longlong
+        lib.laz_encode_points.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.c_uint,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        _laz_lib = lib
+        return _laz_lib
 
 
 def las_probe(path: str):
