@@ -64,14 +64,15 @@ def write_gim(
 
     header semantics follow /root/reference/ui/save_cbm.py:141-150: a
     short header is zero-padded to 776 bytes; None means all zeros.
-    level=9 matches the reference's save-path `7z -mx=9`.
+    level=9 + an encoded header match the reference's save-path
+    `7z a -mx=9` output shape (ui/save_cbm.py:72-89).
     """
     if header is None:
         header = b"\x00" * HEADER_SIZE
     if len(header) < HEADER_SIZE:
         header = header + b"\x00" * (HEADER_SIZE - len(header))
     header = header[:HEADER_SIZE]
-    payload = pack_directory(folder, level=level, store=store)
+    payload = pack_directory(folder, level=level, store=store, encode_header=not store)
     out_dir = os.path.dirname(output_path)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -149,6 +149,9 @@ class Folder:
     unpack_sizes: list[int] = dataclasses.field(default_factory=list)
     num_substreams: int = 1
     substream_sizes: list[int] = dataclasses.field(default_factory=list)
+    crc_defined: bool = False  # folder-level CRC from UnpackInfo
+    crc: Optional[int] = None
+    substream_crcs: list[Optional[int]] = dataclasses.field(default_factory=list)
 
     def total_out(self) -> int:
         return sum(c.num_out for c in self.coders)
@@ -261,12 +264,15 @@ def _decode_folder(folder: Folder, packed: list[bytes]) -> bytes:
     if not filters:
         return data[: folder.unpack_size()]
     dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filters)
-    out = dec.decompress(data, max_length=folder.unpack_size())
-    while len(out) < folder.unpack_size() and not dec.eof:
-        chunk = dec.decompress(b"", max_length=folder.unpack_size() - len(out))
-        if not chunk:
-            break
-        out += chunk
+    try:
+        out = dec.decompress(data, max_length=folder.unpack_size())
+        while len(out) < folder.unpack_size() and not dec.eof:
+            chunk = dec.decompress(b"", max_length=folder.unpack_size() - len(out))
+            if not chunk:
+                break
+            out += chunk
+    except lzma.LZMAError as exc:  # corrupted packed stream
+        raise SevenZipError(f"folder decode failed: {exc}") from exc
     if len(out) < folder.unpack_size():
         raise SevenZipError(
             f"folder decode produced {len(out)} of {folder.unpack_size()} bytes"
@@ -368,9 +374,10 @@ class _HeaderParser:
                 return
             if pid == K_CRC:
                 defined = _read_all_or_bits(f, num_folders)
-                for d in defined:
+                for folder, d in zip(self.folders, defined):
+                    folder.crc_defined = d
                     if d:
-                        f.read(4)
+                        folder.crc = struct.unpack("<I", f.read(4))[0]
             else:
                 raise SevenZipError(f"unexpected id {pid:#x} in UnpackInfo")
 
@@ -399,13 +406,25 @@ class _HeaderParser:
                 )
         while pid != K_END:
             if pid == K_CRC:
-                total = sum(folder.num_substreams for folder in self.folders)
-                # streams with folder-level CRC already defined are skipped;
-                # we did not retain folder CRCs, so treat all as undefined
-                defined = _read_all_or_bits(f, total)
-                for d in defined:
+                # digests are stored ONLY for substreams whose CRC is not
+                # already known from UnpackInfo: a single-substream folder
+                # with a defined folder CRC contributes no digest here.
+                # Getting this count wrong misaligns every following byte
+                # (real `7z a` archives mix defined/undefined folder CRCs).
+                for folder in self.folders:
+                    folder.substream_crcs = [None] * folder.num_substreams
+                    if folder.num_substreams == 1 and folder.crc_defined:
+                        folder.substream_crcs[0] = folder.crc
+                unknown = [
+                    (folder, s)
+                    for folder in self.folders
+                    for s in range(folder.num_substreams)
+                    if not (folder.num_substreams == 1 and folder.crc_defined)
+                ]
+                defined = _read_all_or_bits(f, len(unknown))
+                for (folder, s), d in zip(unknown, defined):
                     if d:
-                        f.read(4)
+                        folder.substream_crcs[s] = struct.unpack("<I", f.read(4))[0]
             else:
                 raise SevenZipError(f"unexpected id {pid:#x} in SubStreamsInfo")
             pid = read_number(f)
@@ -472,6 +491,10 @@ def read_7z(data: bytes) -> list[Entry]:
         if len(hp.folders) != 1:
             raise SevenZipError("encoded header with multiple folders")
         decoded = _decode_folder(hp.folders[0], packs)
+        if hp.folders[0].crc_defined and (
+            zlib.crc32(decoded) & 0xFFFFFFFF
+        ) != hp.folders[0].crc:
+            raise SevenZipError("encoded header CRC mismatch")
         f = io.BytesIO(decoded)
         pid = read_number(f)
     if pid != K_HEADER:
@@ -491,8 +514,9 @@ def read_7z(data: bytes) -> list[Entry]:
         else:
             raise SevenZipError(f"unexpected id {pid:#x} in Header")
 
-    # decode all folders and split substreams
+    # decode all folders, verify CRCs, and split substreams
     substream_data: list[bytes] = []
+    substream_crcs: list[Optional[int]] = []
     if parser is not None:
         offs = 32 + parser.pack_pos
         pack_blobs = []
@@ -504,39 +528,56 @@ def read_7z(data: bytes) -> list[Entry]:
             n_pack = len(folder.packed_indices)
             blob = _decode_folder(folder, pack_blobs[pack_i : pack_i + n_pack])
             pack_i += n_pack
+            if folder.crc_defined and (zlib.crc32(blob) & 0xFFFFFFFF) != folder.crc:
+                raise SevenZipError("folder CRC mismatch")
             pos = 0
             sizes = folder.substream_sizes or [folder.unpack_size()]
-            for sz in sizes:
-                substream_data.append(blob[pos : pos + sz])
+            crcs = folder.substream_crcs or [None] * len(sizes)
+            for sz, crc in zip(sizes, crcs):
+                piece = blob[pos : pos + sz]
+                if crc is not None and (zlib.crc32(piece) & 0xFFFFFFFF) != crc:
+                    raise SevenZipError("substream CRC mismatch")
+                substream_data.append(piece)
+                substream_crcs.append(crc)
                 pos += sz
 
     entries = []
-    it = iter(substream_data)
+    it = iter(zip(substream_data, substream_crcs))
     for fp in file_props:
         is_dir = fp["empty_stream"] and not fp["empty_file"]
+        crc = None
         if fp["empty_stream"]:
             payload = None if is_dir else b""
         else:
-            payload = next(it)
+            payload, crc = next(it)
         entries.append(
             Entry(
                 name=fp["name"].replace("\\", "/"),
                 data=payload,
                 is_dir=is_dir,
-                crc=None,
+                crc=crc,
             )
         )
     return entries
 
 
 # ---------------------------------------------------------------- writer
-def write_7z(entries: list[Entry], level: int = 1, store: bool = False) -> bytes:
+def write_7z(
+    entries: list[Entry],
+    level: int = 1,
+    store: bool = False,
+    encode_header: bool = False,
+) -> bytes:
     """Serialize entries into a single-folder 7z archive.
 
     level: LZMA2 preset (the reference packs with -mx=1 for speed on
     extract/repack and -mx=9 on save; both are accepted here).
     store=True writes a Copy (uncompressed) folder like py7zr's
     FILTER_COPY fallback (ref: ui/compress.py:80).
+    encode_header=True compresses the file header into a trailing packed
+    stream referenced by a kEncodedHeader record — the layout the real
+    7z CLI emits at its -mx defaults (ref: ui/save_cbm.py:72-89), so
+    readers of our .gim output see the same shape the CLI would produce.
     """
     content_entries = [e for e in entries if not e.is_dir and e.data]
     empty_entries = [e for e in entries if e.is_dir or not e.data]
@@ -635,22 +676,70 @@ def write_7z(entries: list[Entry], level: int = 1, store: bool = False) -> bytes
     hdr.write(write_number(K_END))  # end Header
     header = hdr.getvalue()
 
+    # ---- optionally compress the header behind a kEncodedHeader record
+    trailing = header
+    if encode_header:
+        h_dict = 1 << 20
+        hcomp = lzma.LZMACompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[dict(id=lzma.FILTER_LZMA2, preset=level, dict_size=h_dict)],
+        )
+        hpacked = hcomp.compress(header) + hcomp.flush()
+        top = io.BytesIO()
+        top.write(write_number(K_ENCODED_HEADER))
+        # PackInfo: the packed header stream sits right after the payload
+        top.write(write_number(K_PACK_INFO))
+        top.write(write_number(len(packed)))  # pack pos
+        top.write(write_number(1))
+        top.write(write_number(K_SIZE))
+        top.write(write_number(len(hpacked)))
+        top.write(write_number(K_END))
+        # UnpackInfo: one LZMA2 folder with a defined folder CRC
+        top.write(write_number(K_UNPACK_INFO))
+        top.write(write_number(K_FOLDER))
+        top.write(write_number(1))
+        top.write(b"\x00")  # not external
+        top.write(write_number(1))  # one coder
+        hprops = bytes([_lzma2_prop_byte(h_dict)])
+        top.write(bytes([len(CODEC_LZMA2) | 0x20]))
+        top.write(CODEC_LZMA2)
+        top.write(write_number(len(hprops)))
+        top.write(hprops)
+        top.write(write_number(K_CODERS_UNPACK_SIZE))
+        top.write(write_number(len(header)))
+        top.write(write_number(K_CRC))
+        top.write(b"\x01")  # all defined
+        top.write(struct.pack("<I", zlib.crc32(header) & 0xFFFFFFFF))
+        top.write(write_number(K_END))
+        top.write(write_number(K_END))  # end StreamsInfo
+        trailing = hpacked + top.getvalue()
+        nh_offset = len(packed) + len(hpacked)
+        nh_size = top.tell()
+        nh_crc = zlib.crc32(top.getvalue()) & 0xFFFFFFFF
+    else:
+        nh_offset = len(packed)
+        nh_size = len(header)
+        nh_crc = zlib.crc32(header) & 0xFFFFFFFF
+
     # ---- assemble archive
-    nh_offset = len(packed)
-    nh_crc = zlib.crc32(header) & 0xFFFFFFFF
-    start = struct.pack("<QQI", nh_offset, len(header), nh_crc)
+    start = struct.pack("<QQI", nh_offset, nh_size, nh_crc)
     start_crc = zlib.crc32(start) & 0xFFFFFFFF
     w(MAGIC)
     w(bytes([0, 4]))  # version
     w(struct.pack("<I", start_crc))
     w(start)
     w(packed)
-    w(header)
+    w(trailing)
     return out.getvalue()
 
 
 # ---------------------------------------------------------------- helpers
-def pack_directory(folder: str, level: int = 1, store: bool = False) -> bytes:
+def pack_directory(
+    folder: str,
+    level: int = 1,
+    store: bool = False,
+    encode_header: bool = False,
+) -> bytes:
     """Archive a directory tree (relative arcnames), like
     `7z a` / py7zr writeall in the reference."""
     entries = []
@@ -664,7 +753,7 @@ def pack_directory(folder: str, level: int = 1, store: bool = False) -> bytes:
             rel = os.path.relpath(p, folder)
             with open(p, "rb") as fh:
                 entries.append(Entry(name=rel.replace(os.sep, "/"), data=fh.read()))
-    return write_7z(entries, level=level, store=store)
+    return write_7z(entries, level=level, store=store, encode_header=encode_header)
 
 
 def safe_join(out_dir: str, name: str) -> str:

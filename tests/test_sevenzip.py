@@ -127,6 +127,73 @@ def test_7z_reads_lzma1_folder():
     assert back[0].data == payload
 
 
+def test_7z_encoded_header_roundtrip():
+    """encode_header=True emits the kEncodedHeader layout the real 7z CLI
+    writes at -mx defaults (ref: ui/save_cbm.py:72-89)."""
+    blob = write_7z(_sample_entries(), level=9, encode_header=True)
+    # the plain-header marker (kHeader byte right at the next-header
+    # offset) must be replaced by kEncodedHeader (0x17)
+    nh_offset, nh_size = struct.unpack_from("<QQ", blob, 12)
+    assert blob[32 + nh_offset] == 0x17
+    back = read_7z(blob)
+    byname = {e.name: e for e in back}
+    assert byname["big.bin"].data == bytes(range(256)) * 500
+    assert byname["Cbm"].is_dir
+    assert byname["empty.txt"].data == b""
+
+
+def test_7z_crc_mismatch_detected():
+    """Payload corruption must fail the (now-verified) substream CRCs."""
+    blob = bytearray(write_7z(_sample_entries()))
+    nh_offset, _ = struct.unpack_from("<QQ", blob, 12)
+    # flip a byte inside the packed payload region (before the header)
+    blob[32 + nh_offset // 2] ^= 0xFF
+    with pytest.raises(SevenZipError):
+        read_7z(bytes(blob))
+
+
+def test_7z_mixed_folder_fixture():
+    """Spec-built interop fixture (scripts/make_7z_fixture.py): two
+    folders with MIXED CRC placement — folder 0 (a BCJ-x86+LZMA1 chain)
+    has its CRC defined at folder level, folder 1 carries two substreams
+    whose digests live in SubStreamsInfo — wrapped in an LZMA1 encoded
+    header.  Real `7z a` archives mix these; the SubStreamsInfo digest
+    vector must skip folder-covered streams or every following byte
+    misaligns."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "mixed_folders.7z")
+    with open(path, "rb") as fh:
+        entries = read_7z(fh.read())
+    byname = {e.name: e for e in entries}
+    assert byname["prog.bin"].data == bytes.fromhex(
+        "e8c0ffffff9090e8b0ffffff9090"
+    ) * 64
+    assert byname["blha.cbm"].data == (
+        "BLHA=28.268279,113.768283,97.360,12.500\n".encode("utf-8") * 8
+    )
+    assert byname["props.fam"].data == "_=杆塔编号=P143\n_=呼高=36\n".encode("utf-8") * 8
+    # CRCs surfaced on entries (folder-level for prog.bin, substream for rest)
+    import zlib
+
+    for e in entries:
+        assert e.crc == zlib.crc32(e.data) & 0xFFFFFFFF
+
+
+def test_gim_save_uses_encoded_header(tmp_path):
+    """pipeline save path writes CLI-shaped archives end to end."""
+    from pointcloudhookup_tpu.io.sevenzip import pack_directory
+
+    src = tmp_path / "src"
+    (src / "Cbm").mkdir(parents=True)
+    (src / "Cbm" / "p.cbm").write_text("BLHA=28.1,113.2,55.5,3.0\n", encoding="utf-8")
+    blob = pack_directory(str(src), level=9, encode_header=True)
+    nh_offset, _ = struct.unpack_from("<QQ", blob, 12)
+    assert blob[32 + nh_offset] == 0x17
+    back = {e.name: e for e in read_7z(blob)}
+    assert back["Cbm/p.cbm"].data == "BLHA=28.1,113.2,55.5,3.0\n".encode("utf-8")
+
+
 def test_zip_slip_rejected(tmp_path):
     """Entry names escaping the extraction dir must be rejected
     (crafted .gim/7z inputs are untrusted external data)."""
