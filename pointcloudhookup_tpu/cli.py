@@ -251,6 +251,49 @@ def cmd_register(args):
         )
 
 
+def cmd_stream_extract(args):
+    """Tower extraction over arbitrarily large inputs: tiles stream
+    host->device double-buffered, per-tile towers merge with the
+    two-tier quality dedup, and chunk capacity auto-sizes to host RAM +
+    device HBM via the resource governor (no manual tuning — the
+    reference's RAM-ladder analogue, ui/Sampling.py:88-89)."""
+    import numpy as np
+
+    from pointcloudhookup_tpu.config import ClusterParams, ExtractParams, TowerFilterParams
+    from pointcloudhookup_tpu.core.governor import budget
+    from pointcloudhookup_tpu.core.streaming import stream_extract
+    from pointcloudhookup_tpu.models.towers import towers_from_stats
+    from pointcloudhookup_tpu.utils.validate import quality_dedup
+
+    b = budget(
+        max_memory_percent=args.max_memory_percent,
+        hard_cap=args.capacity,
+    )
+    capacity = args.capacity or b.capacity
+    print(f"governor: {b.reason}" + (" (explicit --capacity)" if args.capacity else ""))
+    params = ExtractParams(
+        cluster=ClusterParams(eps=args.eps, min_points=args.min_points),
+        filters=TowerFilterParams(
+            aspect_ratio_threshold=args.aspect_ratio_threshold,
+            min_height=args.min_height,
+            max_width=args.max_width,
+            min_width=args.min_width,
+            duplicate_threshold=args.duplicate_threshold,
+        ),
+    )
+    results = stream_extract(args.las, capacity=capacity, params=params)
+    towers = []
+    for stats, meta in results:
+        towers.extend(towers_from_stats(stats, np.asarray(meta["origin"])))
+    towers = quality_dedup(towers, loose_radius=args.duplicate_threshold)
+    print(f"{len(towers)} towers across {len(results)} tiles (capacity {capacity:,})")
+    for i, t in enumerate(towers):
+        print(
+            f"tower_{i}: center=({t.center[0]:.2f},{t.center[1]:.2f},{t.center[2]:.2f}) "
+            f"h={t.height:.1f} w={t.width:.1f} north={t.north_angle:.1f} pts={t.num_points}"
+        )
+
+
 def cmd_run_all(args):
     """import pc -> compress -> extract -> import gim -> correct -> save."""
     from pointcloudhookup_tpu.models import pipeline
@@ -353,6 +396,17 @@ def main(argv=None):
     sp.add_argument("--iters", type=int, default=20)
     sp.add_argument("--output-folder", default="output")
     sp.set_defaults(fn=cmd_register)
+
+    sp = sub.add_parser(
+        "stream-extract",
+        help="streamed tower extraction over huge/multiple LAS files (auto-sized chunks)",
+    )
+    sp.add_argument("las", nargs="+")
+    add_extract_args(sp)
+    sp.add_argument("--capacity", type=int, help="points per device chunk (default: auto from RAM/HBM)")
+    sp.add_argument("--max-memory-percent", type=float, default=30.0,
+                    help="host RAM fraction the streamer may stage into (ref test/008.py:109)")
+    sp.set_defaults(fn=cmd_stream_extract)
 
     sp = sub.add_parser("run-all", help="full workflow: compress -> extract -> correct -> save")
     sp.add_argument("las")

@@ -30,18 +30,37 @@ class TileStreamer:
     def __init__(
         self,
         sources: Iterable,
-        capacity: int,
+        capacity: Optional[int] = None,
         origin: Optional[np.ndarray] = None,
         device=None,
         decode: Optional[Callable] = None,
         prefetch: int = 1,
+        max_memory_percent: float = 30.0,
     ):
         self.sources = list(sources)
-        self.capacity = capacity
         self.origin = None if origin is None else np.asarray(origin, np.float64)
         self.device = device
         self.decode = decode
         self.prefetch = max(1, prefetch)
+        if capacity is None:
+            # RAM/HBM-governed auto-sizing (reference analogue:
+            # ui/Sampling.py:88-89, test/008.py:109,231-243)
+            from pointcloudhookup_tpu.core.governor import auto_capacity, estimate_points
+
+            biggest = 0
+            for s in self.sources:
+                if isinstance(s, np.ndarray):
+                    biggest = max(biggest, len(s))
+                else:
+                    n = estimate_points(str(s))
+                    biggest = max(biggest, n or 0)
+            capacity = auto_capacity(
+                device=self.device,
+                prefetch=self.prefetch,
+                max_memory_percent=max_memory_percent,
+                n_points=biggest or None,
+            )
+        self.capacity = capacity
 
     def _load(self, source) -> np.ndarray:
         if self.decode is not None:
@@ -110,7 +129,7 @@ class TileStreamer:
 
 def stream_extract(
     sources,
-    capacity: int,
+    capacity: Optional[int] = None,
     params=None,
     origin: Optional[np.ndarray] = None,
     fetch_labels: bool = False,

@@ -93,6 +93,22 @@ class LasData:
         return len(self.points)
 
 
+def peek_point_count(path) -> int:
+    """Point count from the LAS/LAZ header alone (no point decode) —
+    the cheap probe the resource governor sizes chunks from."""
+    with open(path, "rb") as f:
+        data = f.read(375)
+    if data[:4] != _SIGNATURE:
+        raise ValueError(f"not a LAS file (bad signature): {path!r}")
+    ver = (data[24], data[25])
+    count = struct.unpack_from("<I", data, 107)[0]
+    if ver >= (1, 4) and len(data) >= 255:
+        count64 = struct.unpack_from("<Q", data, 247)[0]
+        if count64:
+            count = count64
+    return count
+
+
 def read_las(path) -> LasData:
     with open(path, "rb") as f:
         data = f.read()
