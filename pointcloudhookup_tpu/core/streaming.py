@@ -19,12 +19,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _dequantize_u16(q, scale, shift, n):
+    """Device-side u16 lattice -> centered f32 coords + validity mask.
+    q: u16[capacity,3]; scale/shift: f32[3]; n: valid row count."""
+    xyz = q.astype(jnp.float32) * scale[None, :] + shift[None, :]
+    mask = jnp.arange(q.shape[0], dtype=jnp.int32) < n
+    return jnp.where(mask[:, None], xyz, 0.0), mask
+
+
 class TileStreamer:
     """Iterates (xyz f32[capacity,3] device, mask bool[capacity] device,
     meta dict) over a sequence of tile sources with one-tile prefetch.
 
     `sources` yields either file paths (decoded with io.las.read_las) or
     numpy f64[N,3] arrays.  Tiles larger than capacity are split.
+
+    wire="f32" ships padded f32[capacity,3] + bool[capacity] (13 B/pt,
+    exact).  wire="u16" quantizes each chunk to tile-local u16 lattice
+    coordinates on the host and dequantizes + masks ON DEVICE (6 B/pt —
+    2.2x fewer bytes over transfer-limited links; lattice pitch =
+    chunk extent / 65535, ~3 cm on a 2 km tile, far inside the 0.1 m
+    voxel the extraction pipeline quantizes to anyway).
     """
 
     def __init__(
@@ -36,7 +52,11 @@ class TileStreamer:
         decode: Optional[Callable] = None,
         prefetch: int = 1,
         max_memory_percent: float = 30.0,
+        wire: str = "f32",
     ):
+        if wire not in ("f32", "u16"):
+            raise ValueError(f"wire must be 'f32' or 'u16', got {wire!r}")
+        self.wire = wire
         self.sources = list(sources)
         self.origin = None if origin is None else np.asarray(origin, np.float64)
         self.device = device
@@ -89,15 +109,33 @@ class TileStreamer:
         origin = self.origin if self.origin is not None else (
             chunk.mean(axis=0) if len(chunk) else np.zeros(3)
         )
-        xyz = np.zeros((self.capacity, 3), np.float32)
-        xyz[: len(chunk)] = (chunk - origin).astype(np.float32)
-        mask = np.zeros(self.capacity, bool)
-        mask[: len(chunk)] = True
-        xa = jnp.asarray(xyz)
-        ma = jnp.asarray(mask)
-        if self.device is not None:
-            xa = jax.device_put(xa, self.device)
-            ma = jax.device_put(ma, self.device)
+        n = len(chunk)
+        if self.wire == "u16":
+            lo = chunk.min(axis=0) if n else np.zeros(3)
+            hi = chunk.max(axis=0) if n else np.zeros(3)
+            scale = np.maximum((hi - lo) / 65535.0, 1e-9)
+            q = np.zeros((self.capacity, 3), np.uint16)
+            if n:
+                q[:n] = np.clip(np.rint((chunk - lo) / scale), 0, 65535)
+            qa = jnp.asarray(q)
+            if self.device is not None:
+                qa = jax.device_put(qa, self.device)
+            xa, ma = _dequantize_u16(
+                qa,
+                jnp.asarray(scale.astype(np.float32)),
+                jnp.asarray((lo - origin).astype(np.float32)),
+                jnp.int32(n),
+            )
+        else:
+            xyz = np.zeros((self.capacity, 3), np.float32)
+            xyz[:n] = (chunk - origin).astype(np.float32)
+            mask = np.zeros(self.capacity, bool)
+            mask[:n] = True
+            xa = jnp.asarray(xyz)
+            ma = jnp.asarray(mask)
+            if self.device is not None:
+                xa = jax.device_put(xa, self.device)
+                ma = jax.device_put(ma, self.device)
         meta = dict(meta, origin=origin)
         return xa, ma, meta
 
@@ -133,6 +171,7 @@ def stream_extract(
     params=None,
     origin: Optional[np.ndarray] = None,
     fetch_labels: bool = False,
+    wire: str = "u16",
 ):
     """Run the extraction step over streamed tiles; returns a list of
     per-tile (stats dict numpy, meta).  One-tile prefetch keeps the
@@ -141,14 +180,16 @@ def stream_extract(
     Only the [K]-sized tower summaries are pulled to host by default;
     the per-point label/mask arrays (capacity-sized) stay on device
     unless fetch_labels=True — hauling them back dominates wall time on
-    transfer-limited links."""
+    transfer-limited links.  The wire format defaults to the u16
+    lattice (6 B/pt, ~cm pitch: invisible next to the 0.1 m extraction
+    voxel); pass wire="f32" for exact coordinates."""
     from pointcloudhookup_tpu.config import ExtractParams
     from pointcloudhookup_tpu.models.towers import extract_step
 
     params = params or ExtractParams()
     point_sized = ("labels", "ground_keep", "ds_xyz")
     results = []
-    for xyz, mask, meta in TileStreamer(sources, capacity, origin=origin):
+    for xyz, mask, meta in TileStreamer(sources, capacity, origin=origin, wire=wire):
         stats = extract_step(xyz, mask, params)
         out = {}
         for k, v in stats.items():

@@ -78,11 +78,15 @@ def fused_downsample_ground_cluster(
     v = jnp.floor((xyz - mn) / voxel_size).astype(jnp.int32)
     hi, lo = morton_encode(v[:, 0], v[:, 1], v[:, 2])
     hi = jnp.where(mask, hi, SENTINEL_HI)
-    w_in = mask.astype(jnp.float32)
     if geometric_voxels:
-        hi, lo, w = lax.sort((hi, lo, w_in), num_keys=2)
+        # keys only: masked-out rows carry the sentinel key, and every
+        # non-sentinel row has weight 1, so the per-voxel point count is
+        # never needed — voxel validity is just `hi != SENTINEL` at run
+        # starts.  Saves one sort payload AND the [N] count scan.
+        hi, lo = lax.sort((hi, lo), num_keys=2)
         sx = sy = sz = None
     else:
+        w_in = mask.astype(jnp.float32)
         hi, lo, sx, sy, sz, w = lax.sort(
             (hi, lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], w_in), num_keys=2
         )
@@ -96,13 +100,13 @@ def fused_downsample_ground_cluster(
         vcent = (
             jnp.stack([vix, viy, viz], axis=1).astype(jnp.float32) + 0.5
         ) * voxel_size + mn[None, :]
-        vcount = segmented_scan(jnp.add, w, v_start, reverse=True)
+        voxel_valid = v_start & (hi != SENTINEL_HI)
     else:
         vals = jnp.stack([sx * w, sy * w, sz * w, w], axis=1)
         vtot = segmented_scan(jnp.add, vals, v_start, reverse=True)
         vcount = vtot[:, 3]
         vcent = vtot[:, :3] / jnp.maximum(vcount, 1.0)[:, None]
-    voxel_valid = v_start & (vcount > 0.0) & (hi != SENTINEL_HI)
+        voxel_valid = v_start & (vcount > 0.0) & (hi != SENTINEL_HI)
 
     # ---- global ground percentile over voxel centroids.  In geometric
     # (fast) mode, a strided sample suffices: rows are Morton-sorted, so

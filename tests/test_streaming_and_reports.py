@@ -28,6 +28,46 @@ def test_tile_streamer_splits_and_prefetches(rng):
     )
 
 
+def test_tile_streamer_u16_wire_roundtrip(rng):
+    """The u16 lattice wire dequantizes on device to within one lattice
+    pitch (extent/65535) of the exact coordinates."""
+    tiles = [rng.uniform(0, 2000, size=(800, 3))]
+    exact = list(TileStreamer(tiles, capacity=1024, origin=np.zeros(3)))[0]
+    quant = list(TileStreamer(tiles, capacity=1024, origin=np.zeros(3), wire="u16"))[0]
+    np.testing.assert_array_equal(np.asarray(exact[1]), np.asarray(quant[1]))
+    pitch = 2000.0 / 65535.0
+    got = np.asarray(quant[0])[:800]
+    np.testing.assert_allclose(got, tiles[0], atol=pitch)
+    # padded rows zeroed
+    assert np.all(np.asarray(quant[0])[800:] == 0)
+
+
+def test_tile_streamer_u16_wire_extraction_equivalent(rng):
+    """stream_extract on the u16 wire accepts the same towers as f32."""
+    from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
+
+    pts, centers = synthetic_corridor(
+        rng, n_ground=3000, n_veg=400, pts_per_tower=300, extent=200.0
+    )
+    params = ExtractParams(cluster=ClusterParams(eps=5.0, min_points=30))
+    r16 = stream_extract([pts], capacity=8192, params=params, wire="u16")
+    r32 = stream_extract([pts], capacity=8192, params=params, wire="f32")
+    a16 = np.asarray(r16[0][0]["accepted"])
+    a32 = np.asarray(r32[0][0]["accepted"])
+    assert a16.sum() == a32.sum() >= len(centers) - 1
+    c16 = np.asarray(r16[0][0]["center"])[a16]
+    c32 = np.asarray(r32[0][0]["center"])[a32]
+    for c in c16:
+        assert np.linalg.norm(c32 - c, axis=1).min() < 0.5
+
+
+def test_tile_streamer_rejects_bad_wire():
+    import pytest
+
+    with pytest.raises(ValueError):
+        TileStreamer([], capacity=64, wire="f16")
+
+
 def test_tile_streamer_error_propagates(tmp_path):
     import pytest
 
