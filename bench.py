@@ -58,20 +58,21 @@ def main():
     from pointcloudhookup_tpu.ops.frontend_fused import (
         fused_downsample_ground_cluster,
     )
-    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats
+    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats_codes
 
     params = ExtractParams(cluster=ClusterParams())
 
-    # The fused Morton front-end (one sort for voxel dedup + cell
-    # grouping) plus the OBB/filter stages; jitted separately — one
-    # monolithic graph overruns the compile helper's memory cap.
+    # The fused Morton front-end (one keys-only sort for voxel dedup +
+    # cell grouping, emit='codes') plus the code-sorting OBB and the
+    # filter stage; jitted separately — one monolithic graph overruns
+    # the compile helper's memory cap.
     def frontend(xyz, mask):
-        ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
+        hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=8192, min_cell_points=3,
-            geometric_voxels=True,
+            geometric_voxels=True, emit="codes",
         )
-        stats = cluster_obb_stats(
-            ds_xyz, labels, keep, max_clusters=params.max_clusters,
+        stats = cluster_obb_stats_codes(
+            hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
             num_angles=params.obb_angles, per_cluster_cap=8192,
         )
         accepted = filter_and_dedup(stats, params.filters)

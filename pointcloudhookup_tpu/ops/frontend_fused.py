@@ -38,7 +38,8 @@ from pointcloudhookup_tpu.ops.segments import segmented_scan
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "params", "max_cells", "min_cell_points", "cell_shift", "geometric_voxels"
+        "params", "max_cells", "min_cell_points", "cell_shift",
+        "geometric_voxels", "emit",
     ),
 )
 def fused_downsample_ground_cluster(
@@ -51,6 +52,7 @@ def fused_downsample_ground_cluster(
     cell_shift: int = 5,
     voxel_size: float = 0.1,
     geometric_voxels: bool = False,
+    emit: str = "xyz",
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
     clustering.
@@ -63,7 +65,17 @@ def fused_downsample_ground_cluster(
     voxel centers (Morton-decoded, pure elementwise): downstream
     positions quantize to voxel_size/2 but the expensive [N,4]
     segmented centroid scan reduces to a 1-column occupancy scan.
+
+    emit="codes" (geometric mode only) skips the [N,3] voxel-center
+    materialization — only the z channel is decoded for the ground
+    filter — and returns (hi, lo, keep, labels, base, mn) so the OBB
+    stage can sort Morton codes (one payload fewer) and decode on its
+    dense [K, P] member tensor instead (cluster_obb_stats_codes).
     """
+    if emit not in ("xyz", "codes"):
+        raise ValueError(f"emit must be 'xyz' or 'codes', got {emit!r}")
+    if emit == "codes" and not geometric_voxels:
+        raise ValueError("emit='codes' requires geometric_voxels=True")
     n = xyz.shape[0]
     m = max_cells
     gp = params.ground
@@ -93,36 +105,48 @@ def fused_downsample_ground_cluster(
 
     # ---- voxel runs -> centroids/counts at run-start rows
     v_start = ((hi != jnp.roll(hi, 1)) | (lo != jnp.roll(lo, 1))).at[0].set(True)
-    if geometric_voxels:
+    if geometric_voxels and emit == "codes":
+        from pointcloudhookup_tpu.ops.morton import _compact10
+
+        # only the z channel feeds the ground filter; x/y are never
+        # materialized (the OBB decodes them on its [K,P] member tensor)
+        viz = _compact10(lo >> 2) | (_compact10(hi >> 2) << 10)
+        vz_col = (viz.astype(jnp.float32) + 0.5) * voxel_size + mn[2]
+        vcent = None
+        voxel_valid = v_start & (hi != SENTINEL_HI)
+    elif geometric_voxels:
         from pointcloudhookup_tpu.ops.morton import morton_decode
 
         vix, viy, viz = morton_decode(hi, lo)
         vcent = (
             jnp.stack([vix, viy, viz], axis=1).astype(jnp.float32) + 0.5
         ) * voxel_size + mn[None, :]
+        vz_col = None
         voxel_valid = v_start & (hi != SENTINEL_HI)
     else:
         vals = jnp.stack([sx * w, sy * w, sz * w, w], axis=1)
         vtot = segmented_scan(jnp.add, vals, v_start, reverse=True)
         vcount = vtot[:, 3]
         vcent = vtot[:, :3] / jnp.maximum(vcount, 1.0)[:, None]
+        vz_col = None
         voxel_valid = v_start & (vcount > 0.0) & (hi != SENTINEL_HI)
 
     # ---- global ground percentile over voxel centroids.  In geometric
     # (fast) mode, a strided sample suffices: rows are Morton-sorted, so
     # every 16th row is a spatially stratified sample (~cm quantile
     # error at corridor scale) and the percentile sort shrinks 16x.
+    zcol = vz_col if vcent is None else vcent[:, 2]
     if geometric_voxels:
-        vz_s = jnp.where(voxel_valid, vcent[:, 2], jnp.inf)[::16]
+        vz_s = jnp.where(voxel_valid, zcol, jnp.inf)[::16]
         base = masked_percentile(vz_s, voxel_valid[::16], gp.percentile)
     else:
-        vz = jnp.where(voxel_valid, vcent[:, 2], jnp.inf)
+        vz = jnp.where(voxel_valid, zcol, jnp.inf)
         base = masked_percentile(vz, voxel_valid, gp.percentile)
-    keep = voxel_valid & (vcent[:, 2] > base + gp.offset)
+    keep = voxel_valid & (zcol > base + gp.offset)
     n_keep = jnp.sum(keep.astype(jnp.int32))
     keep = lax.cond(
         n_keep < gp.min_points_after,
-        lambda: voxel_valid & (vcent[:, 2] > base + gp.retry_offset),
+        lambda: voxel_valid & (zcol > base + gp.retry_offset),
         lambda: keep,
     )
 
@@ -222,9 +246,9 @@ def fused_downsample_ground_cluster(
         new = jnp.where(
             core_cell, jnp.minimum(labels, neighbor_min(labels, core_cell)), labels
         )
-        # 4 pointer-jump hops per round: m-sized gathers are ~free next
+        # 8 pointer-jump hops per round: m-sized gathers are ~free next
         # to an O(M^2) kernel pass, and each halving of rounds saves one
-        for _ in range(4):
+        for _ in range(8):
             new = jnp.where(
                 core_cell, jnp.minimum(new, new[jnp.clip(new, 0, m - 1)]), new
             )
@@ -246,6 +270,8 @@ def fused_downsample_ground_cluster(
     )
     lab_row = segmented_scan(jnp.maximum, lab_at_start, c_start)
     labels = jnp.where(keep & (lab_row >= 0), lab_row, -1)
+    if emit == "codes":
+        return hi, lo, keep, labels, base, mn
     ds_xyz = jnp.where(voxel_valid[:, None], vcent, 0.0)
     return ds_xyz, keep, labels, base
 
@@ -258,18 +284,35 @@ def fused_extract_step(
     max_cells: int = 8192,
     min_cell_points: int = 2,
     geometric_voxels: bool = False,
+    per_cluster_cap: int = 16384,
 ):
-    """Full fused front-end + OBB + filters (the bench fast path)."""
-    from pointcloudhookup_tpu.models.towers import filter_and_dedup
-    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats
+    """Full fused front-end + OBB + filters (the bench fast path).
 
+    In geometric mode the OBB consumes Morton CODES (sorting one payload
+    column fewer) and decodes voxel centers on its dense [K, P] member
+    tensor; positions are identical to the xyz path by construction."""
+    from pointcloudhookup_tpu.models.towers import filter_and_dedup
+    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats, cluster_obb_stats_codes
+
+    if geometric_voxels:
+        hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
+            xyz, mask, params, max_cells=max_cells,
+            min_cell_points=min_cell_points, geometric_voxels=True, emit="codes",
+        )
+        stats = cluster_obb_stats_codes(
+            hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
+            num_angles=params.obb_angles, per_cluster_cap=per_cluster_cap,
+        )
+        accepted = filter_and_dedup(stats, params.filters)
+        return dict(labels=labels, ground_keep=keep, base_height=base,
+                    accepted=accepted, **stats)
     ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
         xyz, mask, params, max_cells=max_cells, min_cell_points=min_cell_points,
         geometric_voxels=geometric_voxels,
     )
     stats = cluster_obb_stats(
         ds_xyz, labels, keep, max_clusters=params.max_clusters,
-        num_angles=params.obb_angles,
+        num_angles=params.obb_angles, per_cluster_cap=per_cluster_cap,
     )
     accepted = filter_and_dedup(stats, params.filters)
     return dict(labels=labels, ground_keep=keep, base_height=base,

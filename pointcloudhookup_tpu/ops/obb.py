@@ -70,8 +70,6 @@ def cluster_obb_stats(
     n = xyz.shape[0]
     k = max_clusters
     p = min(per_cluster_cap, n)
-    if num_angles % angle_tile:
-        raise ValueError("num_angles must be a multiple of angle_tile")
     big = jnp.float32(3.0e38)
     valid = (labels >= 0) & (labels < k) & mask
     lab = jnp.where(valid, labels, k).astype(jnp.int32)
@@ -81,18 +79,69 @@ def cluster_obb_stats(
     lab_s, sx, sy, sz = lax.sort(
         (lab, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1
     )
+    gx, gy, gz, member, counts, alive, overflow = _densify_runs(
+        lab_s, (sx, sy, sz), k, p
+    )
+    return _obb_from_members(
+        gx, gy, gz, member, counts, alive, overflow, k,
+        num_angles=num_angles, angle_tile=angle_tile,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("voxel_size", "max_clusters", "num_angles", "angle_tile", "per_cluster_cap"),
+)
+def cluster_obb_stats_codes(
+    hi,
+    lo,
+    labels,
+    mask,
+    mn,
+    *,
+    voxel_size: float = 0.1,
+    max_clusters: int = 128,
+    num_angles: int = 256,
+    angle_tile: int = 32,
+    per_cluster_cap: int = 16384,
+):
+    """cluster_obb_stats on Morton-coded voxel rows: sorts (label, hi,
+    lo) — ONE payload column fewer than carrying x/y/z — and decodes
+    geometric voxel centers only on the [K, P] member tensor.  This is
+    the fused fast path's OBB: positions are voxel centers by
+    construction there, so decode-after-densify is exact."""
+    from pointcloudhookup_tpu.ops.morton import morton_decode
+
+    n = hi.shape[0]
+    k = max_clusters
+    p = min(per_cluster_cap, n)
+    valid = (labels >= 0) & (labels < k) & mask
+    lab = jnp.where(valid, labels, k).astype(jnp.int32)
+    lab_s, h_s, l_s = lax.sort((lab, hi, lo), num_keys=1)
+    gh, gl, member, counts, alive, overflow = _densify_runs(lab_s, (h_s, l_s), k, p)
+    ix, iy, iz = morton_decode(gh, gl)
+    half = jnp.float32(voxel_size) * 0.5
+    gx = ix.astype(jnp.float32) * voxel_size + (mn[0] + half)
+    gy = iy.astype(jnp.float32) * voxel_size + (mn[1] + half)
+    gz = iz.astype(jnp.float32) * voxel_size + (mn[2] + half)
+    return _obb_from_members(
+        gx, gy, gz, member, counts, alive, overflow, k,
+        num_angles=num_angles, angle_tile=angle_tile,
+    )
+
+
+def _densify_runs(lab_s, payloads, k, p):
+    """Label-sorted rows -> per-cluster [K, P] dense member tensors via
+    K dynamic slices (each cluster is one contiguous run)."""
+    n = lab_s.shape[0]
     ar = jnp.arange(k, dtype=jnp.int32)
     lefts = jnp.searchsorted(lab_s, ar, side="left").astype(jnp.int32)
     rights = jnp.searchsorted(lab_s, ar, side="right").astype(jnp.int32)
     counts_i = rights - lefts
     alive = counts_i > 0
-    # counts fall out of the searchsorted bounds for free
     counts = counts_i.astype(jnp.float32)
     overflow = jnp.sum(jnp.maximum(counts_i - p, 0).astype(jnp.float32))
 
-    # ---- densify: [K, P] member tensor.  Each cluster is a contiguous
-    # run after the sort, so this is K dynamic SLICES (block copies), not
-    # an elementwise gather.
     starts = jnp.minimum(lefts, n - p)
     pidx = jnp.arange(p, dtype=jnp.int32)[None, :]  # [1, P]
     pos = starts[:, None] + pidx  # [K, P] absolute rows
@@ -101,9 +150,16 @@ def cluster_obb_stats(
     def take(v):
         return jax.vmap(lambda s: lax.dynamic_slice_in_dim(v, s, p))(starts)
 
-    gx = take(sx)
-    gy = take(sy)
-    gz = take(sz)
+    return (*[take(v) for v in payloads], member, counts, alive, overflow)
+
+
+def _obb_from_members(
+    gx, gy, gz, member, counts, alive, overflow, k, *, num_angles, angle_tile
+):
+    if num_angles % angle_tile:
+        raise ValueError("num_angles must be a multiple of angle_tile")
+    big = jnp.float32(3.0e38)
+    ar = jnp.arange(k, dtype=jnp.int32)
 
     # centroids from the member tensor (exact up to per_cluster_cap;
     # clusters beyond the cap are flagged via 'overflow')

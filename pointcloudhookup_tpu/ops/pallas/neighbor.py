@@ -36,8 +36,8 @@ _BLOCK = 1024  # minimum aligned dynamic-slice granule for 1-D f32 VMEM
 _SUB = 256  # static sub-tile of the column block (temp = [_BLOCK, _SUB])
 
 
-def _kernel(eps2_ref, x_ref, y_ref, z_ref, label_ref, weight_ref, allowed_ref,
-            pop_ref, lmin_ref, *, sentinel: int):
+def _kernel(eps2_ref, rlo_ref, rhi_ref, blo_ref, bhi_ref, x_ref, y_ref, z_ref,
+            label_ref, weight_ref, allowed_ref, pop_ref, lmin_ref, *, sentinel: int):
     m = x_ref.shape[0]
     bm = pop_ref.shape[0]
     i = pl.program_id(0)
@@ -48,28 +48,57 @@ def _kernel(eps2_ref, x_ref, y_ref, z_ref, label_ref, weight_ref, allowed_ref,
     ry = y_ref[pl.ds(row_off, bm)]
     rz = z_ref[pl.ds(row_off, bm)]
 
+    # this row block's AABB (block_m == _BLOCK: one granule per program).
+    # Row bounds cover every FINITE row (outputs are read for rows
+    # outside `allowed` too, e.g. border-cell label adoption); column
+    # bounds cover allowed rows only (others contribute nothing).
+    rx_lo = rlo_ref[i, 0]
+    ry_lo = rlo_ref[i, 1]
+    rz_lo = rlo_ref[i, 2]
+    rx_hi = rhi_ref[i, 0]
+    ry_hi = rhi_ref[i, 1]
+    rz_hi = rhi_ref[i, 2]
+
     def body(j, carry):
         pop, lmin = carry
-        off = pl.multiple_of(j * _BLOCK, _BLOCK)
-        cx = x_ref[pl.ds(off, _BLOCK)]
-        cy = y_ref[pl.ds(off, _BLOCK)]
-        cz = z_ref[pl.ds(off, _BLOCK)]
-        lab = label_ref[pl.ds(off, _BLOCK)]
-        wgt = weight_ref[pl.ds(off, _BLOCK)]
-        alw = allowed_ref[pl.ds(off, _BLOCK)]
-        # static sub-tiles keep the [bm, _SUB] temporaries small
-        for s in range(_BLOCK // _SUB):
-            sl = slice(s * _SUB, (s + 1) * _SUB)
-            dx = rx[:, None] - cx[sl][None, :]
-            dy = ry[:, None] - cy[sl][None, :]
-            dz = rz[:, None] - cz[sl][None, :]
-            d2 = dx * dx + dy * dy + dz * dz
-            nb = (d2 <= eps2) & (alw[sl] > 0)[None, :]
-            pop = pop + jnp.sum(jnp.where(nb, wgt[sl][None, :], 0.0), axis=1)
-            lmin = jnp.minimum(
-                lmin, jnp.min(jnp.where(nb, lab[sl][None, :], sentinel), axis=1)
-            )
-        return pop, lmin
+        # column-block AABB vs row-block AABB: skip far blocks (the
+        # Morton-packed table is spatially coherent, and dead capacity
+        # rows sit at +3e38, so most block pairs cull)
+        cx_lo = blo_ref[j, 0]
+        cy_lo = blo_ref[j, 1]
+        cz_lo = blo_ref[j, 2]
+        cx_hi = bhi_ref[j, 0]
+        cy_hi = bhi_ref[j, 1]
+        cz_hi = bhi_ref[j, 2]
+        gx = jnp.maximum(jnp.maximum(cx_lo - rx_hi, rx_lo - cx_hi), 0.0)
+        gy = jnp.maximum(jnp.maximum(cy_lo - ry_hi, ry_lo - cy_hi), 0.0)
+        gz = jnp.maximum(jnp.maximum(cz_lo - rz_hi, rz_lo - cz_hi), 0.0)
+        near = gx * gx + gy * gy + gz * gz <= eps2
+
+        def compute(carry):
+            pop, lmin = carry
+            off = pl.multiple_of(j * _BLOCK, _BLOCK)
+            cx = x_ref[pl.ds(off, _BLOCK)]
+            cy = y_ref[pl.ds(off, _BLOCK)]
+            cz = z_ref[pl.ds(off, _BLOCK)]
+            lab = label_ref[pl.ds(off, _BLOCK)]
+            wgt = weight_ref[pl.ds(off, _BLOCK)]
+            alw = allowed_ref[pl.ds(off, _BLOCK)]
+            # static sub-tiles keep the [bm, _SUB] temporaries small
+            for s in range(_BLOCK // _SUB):
+                sl = slice(s * _SUB, (s + 1) * _SUB)
+                dx = rx[:, None] - cx[sl][None, :]
+                dy = ry[:, None] - cy[sl][None, :]
+                dz = rz[:, None] - cz[sl][None, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                nb = (d2 <= eps2) & (alw[sl] > 0)[None, :]
+                pop = pop + jnp.sum(jnp.where(nb, wgt[sl][None, :], 0.0), axis=1)
+                lmin = jnp.minimum(
+                    lmin, jnp.min(jnp.where(nb, lab[sl][None, :], sentinel), axis=1)
+                )
+            return pop, lmin
+
+        return jax.lax.cond(near, compute, lambda c: c, carry)
 
     pop0 = jnp.zeros((bm,), jnp.float32)
     lmin0 = jnp.full((bm,), sentinel, jnp.int32)
@@ -99,14 +128,49 @@ def neighbor_reduce(
     m = xyz.shape[0]
     if m % _BLOCK or m % block_m:
         raise ValueError(f"M={m} must be a multiple of {_BLOCK}")
+    if block_m != _BLOCK:
+        raise ValueError(f"block_m must equal {_BLOCK} (one AABB granule per program)")
     if sentinel is None:
         sentinel = m
+    x = xyz[:, 0]
+    y = xyz[:, 1]
+    z = xyz[:, 2]
+    # per-1024-granule AABBs.  Column culling uses ALLOWED-only bounds
+    # (disallowed rows contribute nothing); row culling uses FINITE-row
+    # bounds (outputs are consumed for non-allowed rows too).  Dead
+    # capacity rows carry +3e38 sentinels, so their blocks cull away.
+    big = jnp.float32(3.0e38)
+    finite_cut = jnp.float32(1.0e37)
+    alw = allowed.astype(bool)
+    finite = jnp.abs(x) < finite_cut
+    nb = m // _BLOCK
+
+    def _bounds(v, sel):
+        vb = v.reshape(nb, _BLOCK)
+        sb = sel.reshape(nb, _BLOCK)
+        lo = jnp.min(jnp.where(sb, vb, big), axis=1)
+        hi = jnp.max(jnp.where(sb, vb, -big), axis=1)
+        return lo, hi
+
+    def _aabb(sel):
+        xlo, xhi = _bounds(x, sel)
+        ylo, yhi = _bounds(y, sel)
+        zlo, zhi = _bounds(z, sel)
+        return jnp.stack([xlo, ylo, zlo], axis=1), jnp.stack([xhi, yhi, zhi], axis=1)
+
+    rlo, rhi = _aabb(finite)
+    blo, bhi = _aabb(alw)
+
     kernel = functools.partial(_kernel, sentinel=sentinel)
     pop, lmin = pl.pallas_call(
         kernel,
         grid=(m // block_m,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps2
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # row AABB lo [nb,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # row AABB hi [nb,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # col AABB lo [nb,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # col AABB hi [nb,3]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
             pl.BlockSpec(memory_space=pltpu.VMEM),  # y
             pl.BlockSpec(memory_space=pltpu.VMEM),  # z
@@ -125,9 +189,13 @@ def neighbor_reduce(
         interpret=interpret,
     )(
         jnp.asarray([eps2], jnp.float32),
-        xyz[:, 0],
-        xyz[:, 1],
-        xyz[:, 2],
+        rlo,
+        rhi,
+        blo,
+        bhi,
+        x,
+        y,
+        z,
         labels.astype(jnp.int32),
         weights.astype(jnp.float32),
         allowed.astype(jnp.int32),

@@ -84,6 +84,45 @@ def test_fused_frontend_matches_modular(corridor):
     assert (ext[:, 2] > 15).all() and ((ext[:, 0] > 8) & (ext[:, 0] < 50)).all()
 
 
+def test_fused_codes_path_matches_xyz_path(corridor):
+    """emit='codes' + cluster_obb_stats_codes must reproduce the
+    geometric xyz path EXACTLY: both use voxel centers, the codes path
+    just decodes them after the label sort instead of before."""
+    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats, cluster_obb_stats_codes
+
+    pts, centers = corridor
+    origin = pts.mean(axis=0)
+    xyz, mask = pad_points((pts - origin).astype(np.float32), 8192)
+    params = _params()
+    ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), params,
+        max_cells=2048, min_cell_points=1, geometric_voxels=True,
+    )
+    hi, lo, keep2, labels2, base2, mn = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), params,
+        max_cells=2048, min_cell_points=1, geometric_voxels=True, emit="codes",
+    )
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep2))
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(labels2))
+    assert float(base) == float(base2)
+
+    s_xyz = cluster_obb_stats(
+        ds_xyz, labels, keep, max_clusters=params.max_clusters,
+        num_angles=params.obb_angles,
+    )
+    s_code = cluster_obb_stats_codes(
+        hi, lo, labels2, keep2, mn, max_clusters=params.max_clusters,
+        num_angles=params.obb_angles,
+    )
+    for key in ("count", "alive"):
+        np.testing.assert_array_equal(np.asarray(s_xyz[key]), np.asarray(s_code[key]))
+    for key in ("centroid", "center", "extent", "angle", "north_angle"):
+        np.testing.assert_allclose(
+            np.asarray(s_xyz[key]), np.asarray(s_code[key]), atol=1e-4,
+            err_msg=key,
+        )
+
+
 def test_fused_ground_base_matches_percentile(corridor):
     pts, _ = corridor
     origin = pts.mean(axis=0)
