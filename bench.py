@@ -11,12 +11,14 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 TARGET_MPTS = 200.0
-N_POINTS = 4 * 1024 * 1024  # 4M-point tile
+# default 4M-point tile; PCH_BENCH_MPTS overrides for quick iteration
+N_POINTS = int(float(os.environ.get("PCH_BENCH_MPTS", "4")) * 1024 * 1024)
 WARMUP = 2
 ITERS = 8
 

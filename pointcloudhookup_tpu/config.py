@@ -51,12 +51,17 @@ class ClusterParams:
     chunk_size: int = 50_000
     per_chunk: bool = False
     # clustering backend: "exact" (O(N^2) tiled DBSCAN), "grid"
-    # (cell-graph fast path), or "auto" (grid above auto_grid_threshold)
+    # (cell-graph fast path), "adaptive" (knob-free: data-derived eps +
+    # min-cluster-size semantics, the reference's HDBSCAN-path analogue,
+    # test/008.py:245-268), or "auto" (grid above auto_grid_threshold)
     method: str = "auto"
     auto_grid_threshold: int = 200_000
     # grid-path knobs
     max_cells: int = 65536
     min_cell_points: int = 1
+    # adaptive-path knob: clusters smaller than this many points are
+    # demoted to noise (None -> min_points, HDBSCAN's default coupling)
+    min_cluster_size: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)

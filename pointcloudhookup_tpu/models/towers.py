@@ -116,6 +116,14 @@ def extract_step(xyz, mask, params: ExtractParams = ExtractParams()):
         # chunk-offset labels are sparse; compact them to [0, K) for the
         # fixed-capacity per-cluster reductions
         labels = compact_labels(jnp.where(labels >= 0, labels, n), jnp.int32(n))
+    elif cp.method == "adaptive":
+        from pointcloudhookup_tpu.ops.cluster_adaptive import adaptive_cluster
+
+        labels, core, _ = adaptive_cluster(
+            xyz, keep, cp.min_points,
+            min_cluster_size=cp.min_cluster_size,
+            max_cells=cp.max_cells, min_cell_points=cp.min_cell_points,
+        )
     elif cp.method == "grid" or (
         cp.method == "auto" and n > cp.auto_grid_threshold
     ):
