@@ -177,6 +177,33 @@ def cmd_viz_export(args):
     print(f"{len(geoms)} tower boxes -> {args.output}")
 
 
+def cmd_render(args):
+    """Offscreen scene render: LAS (+ extracted tower boxes) -> PNG.
+
+    Headless twin of the reference's VTK display path
+    (ui/vtk_widget.py:41 display_full_scene): height-colored point
+    splat with the 500k display cap + enlarged tower wireframes."""
+    from pointcloudhookup_tpu.io.las import read_las
+    from pointcloudhookup_tpu.viz.boxes import tower_display_geometries
+    from pointcloudhookup_tpu.viz.render import render_to_png
+
+    pts = read_las(args.las).xyz()
+    geoms = []
+    if args.towers:
+        from pointcloudhookup_tpu.models.pipeline import extract
+
+        towers = extract(
+            args.las, log_callback=print, eps=args.eps, min_points=args.min_points
+        )
+        geoms = tower_display_geometries(towers, preset=args.preset)
+        print(f"{len(geoms)} tower boxes")
+    render_to_png(
+        pts, geoms, args.output, width=args.width, height=args.height,
+        display_cap=args.display_cap,
+    )
+    print(f"scene -> {args.output}")
+
+
 def cmd_elevation_report(args):
     from pointcloudhookup_tpu.models.elevation_report import (
         convert_to_orthometric,
@@ -377,6 +404,18 @@ def main(argv=None):
     add_extract_args(sp)
     sp.add_argument("--preset", default="kuangxuan_original")
     sp.set_defaults(fn=cmd_viz_export)
+
+    sp = sub.add_parser("render", help="offscreen render of a LAS scene (+ tower boxes) to PNG")
+    sp.add_argument("las")
+    sp.add_argument("output")
+    sp.add_argument("--towers", action="store_true", help="extract + overlay tower boxes")
+    sp.add_argument("--eps", type=float, default=8.0)
+    sp.add_argument("--min-points", type=int, default=80)
+    sp.add_argument("--preset", default="kuangxuan_original")
+    sp.add_argument("--width", type=int, default=1280)
+    sp.add_argument("--height", type=int, default=960)
+    sp.add_argument("--display-cap", type=int, default=500_000)
+    sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("elevation-report", help="ellipsoid->orthometric conversion report for GIM towers")
     sp.add_argument("gim")
