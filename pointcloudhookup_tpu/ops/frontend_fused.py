@@ -158,15 +158,23 @@ def fused_downsample_ground_cluster(
         c_hi = hi
         c_lo = (lo >> shift3k) | ((hi & ((1 << shift3k) - 1)) << (30 - shift3k))
     c_start = ((c_hi != jnp.roll(c_hi, 1)) | (c_lo != jnp.roll(c_lo, 1))).at[0].set(True)
-    kw = keep.astype(jnp.float32)
-    # cell population: 1-column reverse scan (totals at start rows) +
-    # forward max-broadcast.  Cell CENTERS need no scans at all: they
-    # decode geometrically from the Morton prefix at pack time (m rows).
-    ctot = segmented_scan(jnp.add, kw, c_start, reverse=True)
+    # cell population at START rows via native-cumsum difference (exact
+    # in i32) — the tupled reverse segmented scan this replaces took
+    # minutes of XLA compile at 4M rows.  Cell CENTERS need no scans at
+    # all: they decode geometrically from the Morton prefix at pack
+    # time (m rows).
+    from pointcloudhookup_tpu.ops.segments import (
+        segment_fill_from_starts,
+        segment_spans,
+        segment_sum_starts,
+    )
+
+    c_spans = segment_spans(c_start)
+    ctot = segment_sum_starts(keep.astype(jnp.int32), c_start, spans=c_spans)
     # density only needs deciding at START rows — the label forward-fill
     # below never leaks labels into undense cells, so no per-row
     # broadcast scan is required
-    dense_start = c_start & (ctot >= jnp.float32(min_cell_points))
+    dense_start = c_start & (ctot >= jnp.int32(min_cell_points))
 
     # packed cell index per row
     pidx_row = jnp.cumsum(dense_start.astype(jnp.int32)) - 1
@@ -179,7 +187,7 @@ def fused_downsample_ground_cluster(
         0,
         n - 1,
     ).astype(jnp.int32)
-    ccount = ctot[rows_m]
+    ccount = ctot[rows_m].astype(jnp.float32)
     from pointcloudhookup_tpu.ops.morton import morton_decode, shift_code
 
     # (c_hi, c_lo) above keep hi UNSHIFTED (equality-only trick); decode
@@ -225,8 +233,9 @@ def fused_downsample_ground_cluster(
 
     # seed labels with a 1-D pre-merge: the table is Morton-ordered, so
     # many clusters are contiguous runs of eps-adjacent cells — union
-    # them with one m-scale segmented min scan, leaving the kernel loop
-    # only the cross-run links (fewer O(M^2) iterations)
+    # them to the run's START index (every maximal core run begins with
+    # run_start=True, so one native cummax of start iotas suffices),
+    # leaving the kernel loop only the cross-run links
     iota_m = jnp.arange(m, dtype=jnp.int32)
     adj_prev = (
         core_cell
@@ -234,12 +243,8 @@ def fused_downsample_ground_cluster(
         & (jnp.sum((centers - jnp.roll(centers, 1, axis=0)) ** 2, axis=1) <= eps2)
     ).at[0].set(False)
     run_start = core_cell & ~adj_prev
-    from pointcloudhookup_tpu.ops.segments import segmented_scan as _segscan
-
-    run_rep = _segscan(
-        jnp.minimum, jnp.where(run_start, iota_m, m), run_start | ~core_cell
-    )
-    labels0 = jnp.where(core_cell, jnp.minimum(iota_m, run_rep), m)
+    run_rep = lax.cummax(jnp.where(run_start, iota_m, -1), axis=0)
+    labels0 = jnp.where(core_cell, jnp.clip(run_rep, 0, m - 1), m)
 
     def step(state):
         labels, _, it = state
@@ -263,12 +268,12 @@ def fused_downsample_ground_cluster(
 
     # ---- per-voxel labels: deliver each packed cell's label to its
     # start row (m-sized scatter — tiny) and forward-fill across the
-    # cell run (one segmented max scan).  An [N]-gather from the m-table
-    # costs ~3x this despite the monotone indices.
+    # cell run via cummax-of-start-iota + one gather (non-dense starts
+    # carry -1, so labels never leak into undense cells)
     lab_at_start = jnp.full(n, -1, jnp.int32).at[rows_m].set(
         jnp.where(cell_alive, cell_labels, -1), mode="drop"
     )
-    lab_row = segmented_scan(jnp.maximum, lab_at_start, c_start)
+    lab_row = segment_fill_from_starts(lab_at_start, c_start, start=c_spans[0])
     labels = jnp.where(keep & (lab_row >= 0), lab_row, -1)
     if emit == "codes":
         return hi, lo, keep, labels, base, mn
@@ -285,12 +290,15 @@ def fused_extract_step(
     min_cell_points: int = 2,
     geometric_voxels: bool = False,
     per_cluster_cap: int = 16384,
+    points_cap: int | None = None,
 ):
     """Full fused front-end + OBB + filters (the bench fast path).
 
     In geometric mode the OBB consumes Morton CODES (sorting one payload
     column fewer) and decodes voxel centers on its dense [K, P] member
-    tensor; positions are identical to the xyz path by construction."""
+    tensor; positions are identical to the xyz path by construction.
+    points_cap compacts labeled rows before the OBB label sort (exact
+    as long as labeled rows fit; overflow is reported in stats)."""
     from pointcloudhookup_tpu.models.towers import filter_and_dedup
     from pointcloudhookup_tpu.ops.obb import cluster_obb_stats, cluster_obb_stats_codes
 
@@ -302,6 +310,7 @@ def fused_extract_step(
         stats = cluster_obb_stats_codes(
             hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
             num_angles=params.obb_angles, per_cluster_cap=per_cluster_cap,
+            points_cap=points_cap,
         )
         accepted = filter_and_dedup(stats, params.filters)
         return dict(labels=labels, ground_keep=keep, base_height=base,

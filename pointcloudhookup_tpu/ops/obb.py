@@ -88,9 +88,34 @@ def cluster_obb_stats(
     )
 
 
+def _compact_valid_rows(valid, payloads, cap: int, fill):
+    """Stable scatter-free compaction: the first `cap` valid rows move to
+    the front of fixed-size [cap] arrays.
+
+    Forward "dst = cumsum(valid)-1" would be a scatter (serializes on
+    TPU); the INVERSE map is not: source row of output slot j is the
+    first row whose running valid-count reaches j+1 — one [N] cumsum +
+    a [cap]-query binary search + [cap] gathers.  Returns (compacted
+    payload tuple, n_valid, overflow_count); slots beyond n_valid carry
+    `fill` in payload 0 and garbage elsewhere (mask via payload 0).
+    """
+    n = valid.shape[0]
+    csum = jnp.cumsum(valid.astype(jnp.int32))
+    n_valid = csum[-1]
+    src = jnp.searchsorted(
+        csum, jnp.arange(1, cap + 1, dtype=jnp.int32), side="left"
+    )
+    src = jnp.clip(src, 0, n - 1).astype(jnp.int32)
+    slot_ok = jnp.arange(cap, dtype=jnp.int32) < n_valid
+    first = jnp.where(slot_ok, payloads[0][src], fill)
+    rest = tuple(p[src] for p in payloads[1:])
+    overflow = jnp.maximum(n_valid - cap, 0).astype(jnp.float32)
+    return (first, *rest), n_valid, overflow
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("voxel_size", "max_clusters", "num_angles", "angle_tile", "per_cluster_cap"),
+    static_argnames=("voxel_size", "max_clusters", "num_angles", "angle_tile", "per_cluster_cap", "points_cap"),
 )
 def cluster_obb_stats_codes(
     hi,
@@ -104,21 +129,36 @@ def cluster_obb_stats_codes(
     num_angles: int = 256,
     angle_tile: int = 32,
     per_cluster_cap: int = 16384,
+    points_cap: int | None = None,
 ):
     """cluster_obb_stats on Morton-coded voxel rows: sorts (label, hi,
     lo) — ONE payload column fewer than carrying x/y/z — and decodes
     geometric voxel centers only on the [K, P] member tensor.  This is
     the fused fast path's OBB: positions are voxel centers by
-    construction there, so decode-after-densify is exact."""
+    construction there, so decode-after-densify is exact.
+
+    points_cap: when set, labeled rows are first compacted to this
+    fixed capacity (cumsum + binary search + gather — no scatter) so
+    the label sort runs over points_cap rows instead of N.  Labeled
+    rows are typically <10% of a corridor tile after the ground cut, so
+    a cap of N/4 keeps exactness with a 4x cheaper sort; rows beyond
+    the cap are counted in 'overflow'."""
     from pointcloudhookup_tpu.ops.morton import morton_decode
 
     n = hi.shape[0]
     k = max_clusters
-    p = min(per_cluster_cap, n)
     valid = (labels >= 0) & (labels < k) & mask
     lab = jnp.where(valid, labels, k).astype(jnp.int32)
+    cap_over = jnp.float32(0.0)
+    if points_cap is not None and points_cap < n:
+        (lab, hi, lo), _, cap_over = _compact_valid_rows(
+            valid, (lab, hi, lo), points_cap, fill=jnp.int32(k)
+        )
+        n = points_cap
+    p = min(per_cluster_cap, n)
     lab_s, h_s, l_s = lax.sort((lab, hi, lo), num_keys=1)
     gh, gl, member, counts, alive, overflow = _densify_runs(lab_s, (h_s, l_s), k, p)
+    overflow = overflow + cap_over
     ix, iy, iz = morton_decode(gh, gl)
     half = jnp.float32(voxel_size) * 0.5
     gx = ix.astype(jnp.float32) * voxel_size + (mn[0] + half)

@@ -35,15 +35,18 @@ def boundary_flags(*keys):
 
 def segment_spans(is_start):
     """For each row of sorted data: (start, nxt) where start is the
-    first row of its segment and nxt is one past the last."""
+    first row of its segment and nxt is one past the last.
+
+    Native lax.cummax/cummin (not the generic associative_scan): XLA
+    has a dedicated cumulative-op lowering that compiles in seconds
+    where the recursive associative_scan graph takes minutes at
+    corridor sizes, and runs at memcpy speed."""
     n = is_start.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    start = lax.associative_scan(jnp.maximum, jnp.where(is_start, iota, -1))
+    start = lax.cummax(jnp.where(is_start, iota, -1), axis=0)
     behind = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
-    nxt_rev = lax.associative_scan(
-        jnp.minimum, jnp.where(behind, iota + 1, n)[::-1]
-    )[::-1]
-    return start, nxt_rev
+    nxt = lax.cummin(jnp.where(behind, iota + 1, n), axis=0, reverse=True)
+    return start, nxt
 
 
 def segment_sum_rows(values, is_start, nxt):
@@ -81,6 +84,30 @@ def segmented_scan(op, values, is_start, reverse: bool = False):
         flags = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
     _, out = lax.associative_scan(combine, (flags, values), axis=0, reverse=reverse)
     return out
+
+
+def segment_sum_starts(weights, is_start, spans=None):
+    """Per-segment totals of integer `weights`, valid at START rows
+    (other rows carry garbage).  One native cumsum + the segment spans
+    + one monotone gather — compiles in seconds where the tupled
+    reverse segmented scan takes minutes at corridor sizes.  Exact for
+    integer weights (use an integer dtype; f32 prefix sums of counts
+    stay exact only below 2^24)."""
+    start, nxt = segment_spans(is_start) if spans is None else spans
+    csum = jnp.cumsum(weights, axis=0)
+    prev = jnp.concatenate([jnp.zeros((1,) + csum.shape[1:], csum.dtype), csum[:-1]])
+    return csum[nxt - 1] - prev
+
+
+def segment_fill_from_starts(values_at_start, is_start, start=None):
+    """Per-row: the value `values_at_start` carries at the row's
+    segment-START row (forward fill across each segment).  One native
+    cummax + one gather instead of a segmented max scan."""
+    n = is_start.shape[0]
+    if start is None:
+        iota = jnp.arange(n, dtype=jnp.int32)
+        start = lax.cummax(jnp.where(is_start, iota, -1), axis=0)
+    return values_at_start[jnp.clip(start, 0, n - 1)]
 
 
 def segment_max_rows(values, is_start):

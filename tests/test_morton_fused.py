@@ -156,3 +156,43 @@ def test_fused_geometric_voxels_mode(corridor):
     np.testing.assert_allclose(
         np.array(sorted(got[:, :2].tolist())), want, atol=2.5
     )
+
+
+def test_codes_obb_points_cap_compaction_exact(corridor):
+    """points_cap compaction must be a pure optimization: with a cap
+    that covers every labeled row, stats are IDENTICAL to the
+    uncompacted path and overflow stays 0."""
+    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats_codes
+
+    pts, centers = corridor
+    origin = pts.mean(axis=0)
+    xyz, mask = pad_points((pts - origin).astype(np.float32), 8192)
+    params = _params()
+    hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), params,
+        max_cells=2048, min_cell_points=1, geometric_voxels=True, emit="codes",
+    )
+    full = cluster_obb_stats_codes(
+        hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
+        num_angles=params.obb_angles,
+    )
+    capped = cluster_obb_stats_codes(
+        hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
+        num_angles=params.obb_angles, points_cap=2048,
+    )
+    n_labeled = int(np.asarray((labels >= 0) & keep).sum())
+    assert n_labeled <= 2048  # cap covers everything -> exactness
+    assert float(capped["overflow"]) == 0.0
+    for key in ("count", "alive"):
+        np.testing.assert_array_equal(np.asarray(full[key]), np.asarray(capped[key]))
+    for key in ("centroid", "center", "extent", "angle", "north_angle"):
+        np.testing.assert_allclose(
+            np.asarray(full[key]), np.asarray(capped[key]), atol=1e-5,
+            err_msg=key,
+        )
+    # an UNDERSIZED cap reports the dropped rows instead of lying
+    tiny = cluster_obb_stats_codes(
+        hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
+        num_angles=params.obb_angles, points_cap=128,
+    )
+    assert float(tiny["overflow"]) >= n_labeled - 128
