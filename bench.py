@@ -76,9 +76,9 @@ def main():
         stats = cluster_obb_stats_codes(
             hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
             num_angles=params.obb_angles, per_cluster_cap=8192,
-            # labeled rows are <10% of the tile after the ground cut:
-            # compact to N/4 so the label sort runs 4x fewer rows
-            points_cap=N_POINTS // 4,
+            # points_cap compaction measured SLOWER here: its 1M-query
+            # binary search + gathers cost more than the label sort
+            # rows they remove (TPU gathers ~100 cycles/elem)
         )
         accepted = filter_and_dedup(stats, params.filters)
         return labels, stats, accepted, base

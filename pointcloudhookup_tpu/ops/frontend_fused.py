@@ -158,19 +158,11 @@ def fused_downsample_ground_cluster(
         c_hi = hi
         c_lo = (lo >> shift3k) | ((hi & ((1 << shift3k) - 1)) << (30 - shift3k))
     c_start = ((c_hi != jnp.roll(c_hi, 1)) | (c_lo != jnp.roll(c_lo, 1))).at[0].set(True)
-    # cell population at START rows via native-cumsum difference (exact
-    # in i32) — the tupled reverse segmented scan this replaces took
-    # minutes of XLA compile at 4M rows.  Cell CENTERS need no scans at
-    # all: they decode geometrically from the Morton prefix at pack
-    # time (m rows).
-    from pointcloudhookup_tpu.ops.segments import (
-        segment_fill_from_starts,
-        segment_spans,
-        segment_sum_starts,
-    )
-
-    c_spans = segment_spans(c_start)
-    ctot = segment_sum_starts(keep.astype(jnp.int32), c_start, spans=c_spans)
+    # cell population: 1-column reverse segmented scan (totals land at
+    # start rows; exact in i32).  Cell CENTERS need no scans at all:
+    # they decode geometrically from the Morton prefix at pack time
+    # (m rows).
+    ctot = segmented_scan(jnp.add, keep.astype(jnp.int32), c_start, reverse=True)
     # density only needs deciding at START rows — the label forward-fill
     # below never leaks labels into undense cells, so no per-row
     # broadcast scan is required
@@ -268,12 +260,12 @@ def fused_downsample_ground_cluster(
 
     # ---- per-voxel labels: deliver each packed cell's label to its
     # start row (m-sized scatter — tiny) and forward-fill across the
-    # cell run via cummax-of-start-iota + one gather (non-dense starts
-    # carry -1, so labels never leak into undense cells)
+    # cell run (one segmented max scan).  An [N]-gather from the m-table
+    # costs ~3x this despite the monotone indices.
     lab_at_start = jnp.full(n, -1, jnp.int32).at[rows_m].set(
         jnp.where(cell_alive, cell_labels, -1), mode="drop"
     )
-    lab_row = segment_fill_from_starts(lab_at_start, c_start, start=c_spans[0])
+    lab_row = segmented_scan(jnp.maximum, lab_at_start, c_start)
     labels = jnp.where(keep & (lab_row >= 0), lab_row, -1)
     if emit == "codes":
         return hi, lo, keep, labels, base, mn

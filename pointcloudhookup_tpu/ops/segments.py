@@ -66,48 +66,41 @@ def segment_sum_rows(values, is_start, nxt):
 
 def segmented_scan(op, values, is_start, reverse: bool = False):
     """Segmented inclusive scan of `op` (e.g. jnp.maximum) along axis 0,
-    restarting at each is_start row (or segment end if reverse)."""
+    restarting at each is_start row (or segment end if reverse).
 
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        f = fa | fb
-        if values.ndim == 2:
-            v = jnp.where(fb[:, None], vb, op(va, vb))
-        else:
-            v = jnp.where(fb, vb, op(va, vb))
-        return f, v
-
+    Implemented as a Hillis-Steele doubling loop of [N]-shaped shifted
+    combines (log2 N unrolled steps, each a pad/slice + where — no
+    gathers, no odd/even recursion).  The tupled associative_scan this
+    replaces emitted a recursive slice/concat graph that took MINUTES
+    of XLA compile at 4M rows; these flat steps compile in seconds and
+    every step is a fusable memcpy-speed VPU pass."""
     flags = is_start
     if reverse:
         # reset flags for a backward scan are the segment-END rows
         flags = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
-    _, out = lax.associative_scan(combine, (flags, values), axis=0, reverse=reverse)
-    return out
+        return _segmented_scan_fwd(op, values[::-1], flags[::-1])[::-1]
+    return _segmented_scan_fwd(op, values, flags)
 
 
-def segment_sum_starts(weights, is_start, spans=None):
-    """Per-segment totals of integer `weights`, valid at START rows
-    (other rows carry garbage).  One native cumsum + the segment spans
-    + one monotone gather — compiles in seconds where the tupled
-    reverse segmented scan takes minutes at corridor sizes.  Exact for
-    integer weights (use an integer dtype; f32 prefix sums of counts
-    stay exact only below 2^24)."""
-    start, nxt = segment_spans(is_start) if spans is None else spans
-    csum = jnp.cumsum(weights, axis=0)
-    prev = jnp.concatenate([jnp.zeros((1,) + csum.shape[1:], csum.dtype), csum[:-1]])
-    return csum[nxt - 1] - prev
-
-
-def segment_fill_from_starts(values_at_start, is_start, start=None):
-    """Per-row: the value `values_at_start` carries at the row's
-    segment-START row (forward fill across each segment).  One native
-    cummax + one gather instead of a segmented max scan."""
-    n = is_start.shape[0]
-    if start is None:
-        iota = jnp.arange(n, dtype=jnp.int32)
-        start = lax.cummax(jnp.where(is_start, iota, -1), axis=0)
-    return values_at_start[jnp.clip(start, 0, n - 1)]
+def _segmented_scan_fwd(op, values, flags):
+    n = values.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    v = values
+    f = flags
+    d = 1
+    while d < n:
+        # state[i] <- combine(state[i-d], state[i]) for i >= d
+        vprev = jnp.concatenate([v[:d], v[:-d]], axis=0)  # [i-d]; rows <d masked
+        fprev = jnp.concatenate([f[:d], f[:-d]])
+        valid = iota >= d
+        blocked = f | ~valid  # own flag: segment starts here, don't merge
+        if values.ndim == 2:
+            v = jnp.where(blocked[:, None], v, op(vprev, v))
+        else:
+            v = jnp.where(blocked, v, op(vprev, v))
+        f = f | (fprev & valid)
+        d <<= 1
+    return v
 
 
 def segment_max_rows(values, is_start):
