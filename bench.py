@@ -60,25 +60,30 @@ def main():
     from pointcloudhookup_tpu.ops.frontend_fused import (
         fused_downsample_ground_cluster,
     )
-    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats_codes
+    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats_accum
 
     params = ExtractParams(cluster=ClusterParams())
 
     # The fused Morton front-end (one keys-only sort for voxel dedup +
     # cell grouping, emit='codes') plus the code-sorting OBB and the
-    # filter stage; jitted separately — one monolithic graph overruns
-    # the compile helper's memory cap.
+    # filter stage, as ONE jitted program: each separate dispatch costs
+    # ~4.3 ms through the async device tunnel, so fusing the three
+    # stages reclaims ~9 ms/iter.  (The old per-stage split predates
+    # the Hillis-Steele scans, whose compile footprint made a monolithic
+    # graph impractical.)
+    import jax as _jax
+
+    @_jax.jit
     def frontend(xyz, mask):
         hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=8192, min_cell_points=3,
             geometric_voxels=True, emit="codes",
         )
-        stats = cluster_obb_stats_codes(
+        # sort-free OBB: streaming pallas accumulation over the Morton
+        # rows replaces the full-N label sort (~45% of the iteration)
+        stats = cluster_obb_stats_accum(
             hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
-            num_angles=params.obb_angles, per_cluster_cap=8192,
-            # points_cap compaction measured SLOWER here: its 1M-query
-            # binary search + gathers cost more than the label sort
-            # rows they remove (TPU gathers ~100 cycles/elem)
+            num_angles=params.obb_angles,
         )
         accepted = filter_and_dedup(stats, params.filters)
         return labels, stats, accepted, base

@@ -170,6 +170,112 @@ def cluster_obb_stats_codes(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("voxel_size", "max_clusters", "num_angles", "block", "use_pallas"),
+)
+def cluster_obb_stats_accum(
+    hi,
+    lo,
+    labels,
+    mask,
+    mn,
+    *,
+    voxel_size: float = 0.1,
+    max_clusters: int = 128,
+    num_angles: int = 256,
+    block: int = 1024,
+    use_pallas: bool = True,
+):
+    """Sort-free OBB stats: one streaming Pallas pass accumulates
+    per-(cluster, angle) projection extremes directly over the
+    Morton-ordered rows (ops/pallas/obb_accum.py), replacing the
+    full-N label sort + [K, P] densify of cluster_obb_stats_codes.
+    Exact (no per_cluster_cap), 'overflow' is always 0.  The flat
+    num_angles grid gives the same pi/2/A resolution as the sort
+    path's coarse+refine search."""
+    from pointcloudhookup_tpu.ops.pallas.obb_accum import (
+        obb_accumulate,
+        obb_accumulate_reference,
+    )
+
+    k = max_clusters
+    lab = jnp.where((labels >= 0) & (labels < k) & mask, labels, -1)
+    if use_pallas:
+        acc = obb_accumulate(
+            hi, lo, lab, mn, voxel_size=voxel_size, max_clusters=k,
+            num_angles=num_angles, block=block,
+        )
+    else:
+        acc = obb_accumulate_reference(
+            hi, lo, lab, mn, voxel_size=voxel_size, max_clusters=k,
+            num_angles=num_angles,
+        )
+    return _obb_from_accum(acc, k, num_angles)
+
+
+def _obb_from_accum(acc, k, num_angles):
+    big = jnp.float32(3.0e38)
+    ar = jnp.arange(k, dtype=jnp.int32)
+    counts = acc["cnt"]
+    alive = counts > 0.0
+    denom = jnp.maximum(counts, 1.0)
+    centroid = jnp.stack(
+        [acc["sx"] / denom, acc["sy"] / denom, acc["sz"] / denom], axis=1
+    )
+    centroid = jnp.where(alive[:, None], centroid, 0.0)
+
+    eu = acc["uhi"] - acc["ulo"]  # [K, A]
+    ev = acc["vhi"] - acc["vlo"]
+    area = eu * ev
+    best = jnp.argmin(area, axis=1)
+    eu_b = eu[ar, best]
+    ev_b = ev[ar, best]
+    cu = (acc["uhi"] + acc["ulo"])[ar, best] * 0.5
+    cv = (acc["vhi"] + acc["vlo"])[ar, best] * 0.5
+    step = jnp.pi / 2.0 / num_angles
+    theta = best.astype(jnp.float32) * step
+    u_vec = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+    v_vec = jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=1)
+    center_xy = cu[:, None] * u_vec + cv[:, None] * v_vec
+
+    z_lo = acc["zlo"]
+    z_hi = acc["zhi"]
+    ez = z_hi - z_lo
+    center = jnp.concatenate(
+        [center_xy, ((z_hi + z_lo) * 0.5)[:, None]], axis=1
+    )
+
+    # angle 0 projects onto (x, y): axis-aligned bounds are column 0
+    x_lo = acc["ulo"][:, 0]
+    x_hi = acc["uhi"][:, 0]
+    y_lo = acc["vlo"][:, 0]
+    y_hi = acc["vhi"][:, 0]
+
+    swap = ev_b > eu_b
+    ex = jnp.where(swap, ev_b, eu_b)
+    ey = jnp.where(swap, eu_b, ev_b)
+    axis = jnp.where(swap[:, None], v_vec, u_vec)
+    ang_deg = jnp.degrees(jnp.arctan2(axis[:, 1], axis[:, 0]))
+    north = jnp.mod(90.0 - ang_deg, 360.0)
+
+    zero3 = jnp.zeros((k, 3), jnp.float32)
+    aabb_min = jnp.stack([x_lo, y_lo, z_lo], axis=1)
+    aabb_max = jnp.stack([x_hi, y_hi, z_hi], axis=1)
+    return dict(
+        count=counts,
+        alive=alive,
+        centroid=centroid,
+        center=jnp.where(alive[:, None], center, zero3),
+        extent=jnp.where(alive[:, None], jnp.stack([ex, ey, ez], axis=1), zero3),
+        angle=jnp.where(alive, theta + swap * (jnp.pi / 2.0), 0.0),
+        north_angle=jnp.where(alive, north, 0.0),
+        aabb_min=jnp.where(alive[:, None], aabb_min, big),
+        aabb_max=jnp.where(alive[:, None], aabb_max, -big),
+        overflow=jnp.float32(0.0),
+    )
+
+
 def _densify_runs(lab_s, payloads, k, p):
     """Label-sorted rows -> per-cluster [K, P] dense member tensors via
     K dynamic slices (each cluster is one contiguous run)."""
