@@ -283,27 +283,43 @@ def fused_extract_step(
     geometric_voxels: bool = False,
     per_cluster_cap: int = 16384,
     points_cap: int | None = None,
+    obb: str = "auto",
 ):
     """Full fused front-end + OBB + filters (the bench fast path).
 
     In geometric mode the OBB consumes Morton CODES (sorting one payload
     column fewer) and decodes voxel centers on its dense [K, P] member
     tensor; positions are identical to the xyz path by construction.
-    points_cap compacts labeled rows before the OBB label sort (exact
-    as long as labeled rows fit; overflow is reported in stats)."""
+    obb: "accum" streams a sort-free Pallas accumulation over the Morton
+    rows (exact, no member cap — TPU only), "sort" label-sorts + densifies,
+    "auto" picks accum on TPU.  points_cap compacts labeled rows before
+    the sort-path label sort (exact as long as labeled rows fit;
+    overflow is reported in stats)."""
     from pointcloudhookup_tpu.models.towers import filter_and_dedup
-    from pointcloudhookup_tpu.ops.obb import cluster_obb_stats, cluster_obb_stats_codes
+    from pointcloudhookup_tpu.ops.obb import (
+        cluster_obb_stats,
+        cluster_obb_stats_accum,
+        cluster_obb_stats_codes,
+    )
 
+    if obb == "auto":
+        obb = "accum" if jax.default_backend() == "tpu" else "sort"
     if geometric_voxels:
         hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=max_cells,
             min_cell_points=min_cell_points, geometric_voxels=True, emit="codes",
         )
-        stats = cluster_obb_stats_codes(
-            hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
-            num_angles=params.obb_angles, per_cluster_cap=per_cluster_cap,
-            points_cap=points_cap,
-        )
+        if obb == "accum":
+            stats = cluster_obb_stats_accum(
+                hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
+                num_angles=params.obb_angles,
+            )
+        else:
+            stats = cluster_obb_stats_codes(
+                hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
+                num_angles=params.obb_angles, per_cluster_cap=per_cluster_cap,
+                points_cap=points_cap,
+            )
         accepted = filter_and_dedup(stats, params.filters)
         return dict(labels=labels, ground_keep=keep, base_height=base,
                     accepted=accepted, **stats)
