@@ -172,6 +172,7 @@ def stream_extract(
     origin: Optional[np.ndarray] = None,
     fetch_labels: bool = False,
     wire: str = "u16",
+    fast: bool = False,
 ):
     """Run the extraction step over streamed tiles; returns a list of
     per-tile (stats dict numpy, meta).  One-tile prefetch keeps the
@@ -182,15 +183,27 @@ def stream_extract(
     unless fetch_labels=True — hauling them back dominates wall time on
     transfer-limited links.  The wire format defaults to the u16
     lattice (6 B/pt, ~cm pitch: invisible next to the 0.1 m extraction
-    voxel); pass wire="f32" for exact coordinates."""
+    voxel); pass wire="f32" for exact coordinates.  fast=True runs the
+    fused geometric front-end + sort-free OBB per tile (the bench fast
+    mode: positions quantize to voxel centers, bounded by
+    tests/test_fast_vs_parity.py) instead of the modular parity step."""
     from pointcloudhookup_tpu.config import ExtractParams
     from pointcloudhookup_tpu.models.towers import extract_step
 
     params = params or ExtractParams()
+    if fast:
+        from pointcloudhookup_tpu.ops.frontend_fused import fused_extract_step
+
+        def step(xyz, mask):
+            return fused_extract_step(xyz, mask, params, geometric_voxels=True)
+    else:
+        def step(xyz, mask):
+            return extract_step(xyz, mask, params)
+
     point_sized = ("labels", "ground_keep", "ds_xyz")
     results = []
     for xyz, mask, meta in TileStreamer(sources, capacity, origin=origin, wire=wire):
-        stats = extract_step(xyz, mask, params)
+        stats = step(xyz, mask)
         out = {}
         for k, v in stats.items():
             if k in point_sized and not fetch_labels:

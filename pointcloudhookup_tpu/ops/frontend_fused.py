@@ -273,6 +273,13 @@ def fused_downsample_ground_cluster(
     return ds_xyz, keep, labels, base
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "max_cells", "min_cell_points", "geometric_voxels",
+        "per_cluster_cap", "points_cap", "obb",
+    ),
+)
 def fused_extract_step(
     xyz,
     mask,

@@ -45,15 +45,21 @@ def main():
     params = ExtractParams(cluster=ClusterParams())
     origin = np.array([0.0, 0.0, 50.0])
 
-    for wire in ("u16", "f32"):
+    for wire, fast in (("u16", True), ("u16", False), ("f32", False)):
         # warm the jit caches on tile 0
-        stream_extract(tiles[:1], capacity=tile_n, params=params, origin=origin, wire=wire)
+        stream_extract(
+            tiles[:1], capacity=tile_n, params=params, origin=origin,
+            wire=wire, fast=fast,
+        )
         t0 = time.perf_counter()
-        results = stream_extract(tiles, capacity=tile_n, params=params, origin=origin, wire=wire)
+        results = stream_extract(
+            tiles, capacity=tile_n, params=params, origin=origin,
+            wire=wire, fast=fast,
+        )
         dt = time.perf_counter() - t0
         towers = sum(int(s["accepted"].sum()) for s, _ in results)
         print(
-            f"wire={wire}: {total/1e6:.0f} Mpts in {dt:.1f} s -> "
+            f"wire={wire} fast={fast}: {total/1e6:.0f} Mpts in {dt:.1f} s -> "
             f"{total/dt/1e6:.2f} Mpts/s ({towers} towers)",
             flush=True,
         )

@@ -97,6 +97,33 @@ def test_stream_extract_finds_towers_per_tile(rng):
         assert stats["accepted"].sum() == 1
 
 
+def test_stream_extract_fast_mode_matches(rng):
+    """fast=True (fused geometric front-end + sort-free OBB) accepts the
+    same towers per tile as the modular parity step."""
+    from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
+
+    tiles = []
+    for d in range(2):
+        pts, _ = synthetic_corridor(
+            rng, n_ground=1500, n_veg=0, towers=((0.0, 0.0),),
+            pts_per_tower=400, extent=100.0, origin=(d * 500.0, 0.0, 0.0),
+        )
+        tiles.append(pts)
+    params = ExtractParams(
+        ground=GroundParams(min_points_after=64),
+        cluster=ClusterParams(eps=5.0, min_points=30),
+        max_clusters=16,
+        obb_angles=32,
+    )
+    slow = stream_extract(tiles, capacity=2048, params=params)
+    fast = stream_extract(tiles, capacity=2048, params=params, fast=True)
+    for (s, _), (f, _) in zip(slow, fast):
+        assert s["accepted"].sum() == f["accepted"].sum() == 1
+        cs = s["center"][s["accepted"].astype(bool)]
+        cf = f["center"][f["accepted"].astype(bool)]
+        assert np.linalg.norm(cs[:, :2] - cf[:, :2]) < 0.5
+
+
 def test_elevation_report(tmp_path):
     lat = np.linspace(20, 40, 21)
     lon = np.linspace(100, 120, 21)
