@@ -308,7 +308,9 @@ def cmd_stream_extract(args):
             duplicate_threshold=args.duplicate_threshold,
         ),
     )
-    results = stream_extract(args.las, capacity=capacity, params=params)
+    results = stream_extract(
+        args.las, capacity=capacity, params=params, fast=args.fast
+    )
     towers = []
     for stats, meta in results:
         towers.extend(towers_from_stats(stats, np.asarray(meta["origin"])))
@@ -445,6 +447,8 @@ def main(argv=None):
     sp.add_argument("--capacity", type=int, help="points per device chunk (default: auto from RAM/HBM)")
     sp.add_argument("--max-memory-percent", type=float, default=30.0,
                     help="host RAM fraction the streamer may stage into (ref test/008.py:109)")
+    sp.add_argument("--fast", action="store_true",
+                    help="fused geometric front-end + sort-free OBB per tile (bench fast mode)")
     sp.set_defaults(fn=cmd_stream_extract)
 
     sp = sub.add_parser("run-all", help="full workflow: compress -> extract -> correct -> save")

@@ -53,6 +53,7 @@ def fused_downsample_ground_cluster(
     voxel_size: float = 0.1,
     geometric_voxels: bool = False,
     emit: str = "xyz",
+    ground_override=None,
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
     clustering.
@@ -136,19 +137,26 @@ def fused_downsample_ground_cluster(
     # every 16th row is a spatially stratified sample (~cm quantile
     # error at corridor scale) and the percentile sort shrinks 16x.
     zcol = vz_col if vcent is None else vcent[:, 2]
-    if geometric_voxels:
+    if ground_override is not None:
+        # multi-shard callers supply a GLOBAL (psum'd) base + retry
+        # decision so every shard applies the identical ground cut
+        base, use_retry = ground_override
+        off = jnp.where(use_retry, gp.retry_offset, gp.offset)
+        keep = voxel_valid & (zcol > base + off)
+    elif geometric_voxels:
         vz_s = jnp.where(voxel_valid, zcol, jnp.inf)[::16]
         base = masked_percentile(vz_s, voxel_valid[::16], gp.percentile)
     else:
         vz = jnp.where(voxel_valid, zcol, jnp.inf)
         base = masked_percentile(vz, voxel_valid, gp.percentile)
-    keep = voxel_valid & (zcol > base + gp.offset)
-    n_keep = jnp.sum(keep.astype(jnp.int32))
-    keep = lax.cond(
-        n_keep < gp.min_points_after,
-        lambda: voxel_valid & (zcol > base + gp.retry_offset),
-        lambda: keep,
-    )
+    if ground_override is None:
+        keep = voxel_valid & (zcol > base + gp.offset)
+        n_keep = jnp.sum(keep.astype(jnp.int32))
+        keep = lax.cond(
+            n_keep < gp.min_points_after,
+            lambda: voxel_valid & (zcol > base + gp.retry_offset),
+            lambda: keep,
+        )
 
     # ---- cell runs (Morton prefix boundaries), stats over KEPT voxels
     if shift3k >= 30:

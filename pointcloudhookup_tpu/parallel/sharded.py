@@ -130,13 +130,63 @@ def make_sharded_extract(
     mesh: Mesh,
     params: ExtractParams = ExtractParams(),
     merge_radius: float = 6.0,
+    fast: bool = False,
 ):
     """Build the jitted multi-chip extraction step.
 
     Input xyz f32[D*N, 3] / mask bool[D*N] sharded over AXIS; returns
     (per-shard labels i32[D*N] sharded, replicated global tower stats
-    dict [D*K] + accepted mask)."""
+    dict [D*K] + accepted mask).
+
+    fast=True runs the single-chip fast path per shard — fused Morton
+    front-end (one keys-only sort) + the sort-free Pallas OBB
+    accumulation — against the GLOBAL psum'd ground percentile (the
+    per-shard base/retry decision is replicated, so every shard applies
+    the identical cut).  The collective structure is unchanged:
+    all_gather of [K] summaries + deterministic replicated merge."""
     n_dev = mesh.devices.size
+
+    def _ground_base(xyz, mask):
+        """Global percentile + retry decision over RAW z (psum'd)."""
+        gp = params.ground
+        z = xyz[:, 2]
+        big = jnp.float32(3.0e38)
+        lo = lax.pmin(jnp.min(jnp.where(mask, z, big)), AXIS)
+        hi = lax.pmax(jnp.max(jnp.where(mask, z, -big)), AXIS)
+        counts = lax.psum(histogram_counts(z, mask, lo, hi, 4096), AXIS)
+        base = percentile_from_histogram(counts, lo, hi, gp.percentile)
+        n_keep = lax.psum(
+            jnp.sum((mask & (z > base + gp.offset)).astype(jnp.int32)), AXIS
+        )
+        return base, n_keep < gp.min_points_after
+
+    def fast_step(xyz, mask):
+        from pointcloudhookup_tpu.ops.frontend_fused import (
+            fused_downsample_ground_cluster,
+        )
+        from pointcloudhookup_tpu.ops.obb import cluster_obb_stats_accum
+
+        base, use_retry = _ground_base(xyz, mask)
+        cp = params.cluster
+        hi, lo, keep, labels, _, mn = fused_downsample_ground_cluster(
+            xyz, mask, params, max_cells=cp.max_cells if cp.max_cells <= 8192 else 8192,
+            min_cell_points=cp.min_cell_points, geometric_voxels=True,
+            emit="codes", ground_override=(base, use_retry),
+        )
+        stats = cluster_obb_stats_accum(
+            hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
+            num_angles=params.obb_angles,
+            use_pallas=jax.default_backend() == "tpu",
+        )
+        gathered = {
+            key: lax.all_gather(val, AXIS).reshape((-1,) + val.shape[1:])
+            for key, val in stats.items()
+        }
+        merged = _merge_fragments(gathered, merge_radius)
+        accepted = filter_and_dedup(merged, params.filters)
+        merged["accepted"] = accepted
+        merged["base_height"] = base
+        return labels, merged
 
     def step(xyz, mask):
         keep, base = _global_ground_keep(xyz, mask, params)
@@ -170,7 +220,7 @@ def make_sharded_extract(
         return labels, merged
 
     shardmapped = jax.shard_map(
-        step,
+        fast_step if fast else step,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
         out_specs=(

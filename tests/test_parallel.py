@@ -69,6 +69,24 @@ def test_sharded_extract_runs_and_finds_towers(rng):
     np.testing.assert_allclose(got, want, atol=2.5)
 
 
+def test_sharded_extract_fast_path(rng):
+    """fast=True (fused front-end + accum OBB per shard, global psum'd
+    ground base) finds the same towers as the modular sharded step."""
+    n_dev = 4
+    mesh = tile_mesh(n_dev)
+    step, in_sharding = make_sharded_extract(mesh, _params(), fast=True)
+    xyz, mask, centers = _make_inputs(rng, n_dev)
+    xa = jax.device_put(jnp.asarray(xyz), in_sharding)
+    ma = jax.device_put(jnp.asarray(mask), in_sharding)
+    labels, merged = step(xa, ma)
+    accepted = np.asarray(merged["accepted"])
+    got_centers = np.asarray(merged["center"])[accepted]
+    assert accepted.sum() == len(centers)
+    got = np.array(sorted(got_centers[:, 0].tolist()))
+    want = np.array(sorted(centers[:, 0].tolist()))
+    np.testing.assert_allclose(got, want, atol=2.5)
+
+
 def test_sharded_merge_unifies_boundary_tower(rng):
     """A tower duplicated on two neighboring shards (as if split by a
     tile boundary) must be merged into ONE accepted tower."""
