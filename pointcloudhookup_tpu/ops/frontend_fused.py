@@ -207,63 +207,25 @@ def fused_downsample_ground_cluster(
 
     # ---- cell-graph clustering (fused pallas kernel on TPU)
     eps2 = eps * eps
+    iota_m = jnp.arange(m, dtype=jnp.int32)
     use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from pointcloudhookup_tpu.ops.pallas.neighbor import neighbor_reduce
+        # whole clustering loop — population pass, Jacobi min-label
+        # rounds with early exit, border adoption — in ONE kernel
+        # invocation with every m-table VMEM-resident
+        from pointcloudhookup_tpu.ops.pallas.cluster_converge import cluster_cells
 
-        def _reduce(labels, weights, allowed):
-            return neighbor_reduce(centers, labels, weights, allowed, eps2, sentinel=m)
-    else:
-
-        def _reduce(labels, weights, allowed):
-            from pointcloudhookup_tpu.ops.pallas.neighbor import (
-                neighbor_reduce_reference,
-            )
-
-            return neighbor_reduce_reference(
-                centers, labels, weights, allowed, eps2, sentinel=m
-            )
-
-    pop, _ = _reduce(jnp.zeros(m, jnp.int32), ccount, cell_alive)
-    core_cell = cell_alive & (pop >= cp.min_points)
-
-    def neighbor_min(labels, allowed):
-        _, lmin = _reduce(labels, jnp.zeros(m, jnp.float32), allowed)
-        return lmin
-
-    # seed labels with a 1-D pre-merge: the table is Morton-ordered, so
-    # many clusters are contiguous runs of eps-adjacent cells — union
-    # them to the run's START index (every maximal core run begins with
-    # run_start=True, so one native cummax of start iotas suffices),
-    # leaving the kernel loop only the cross-run links
-    iota_m = jnp.arange(m, dtype=jnp.int32)
-    adj_prev = (
-        core_cell
-        & jnp.roll(core_cell, 1)
-        & (jnp.sum((centers - jnp.roll(centers, 1, axis=0)) ** 2, axis=1) <= eps2)
-    ).at[0].set(False)
-    run_start = core_cell & ~adj_prev
-    run_rep = lax.cummax(jnp.where(run_start, iota_m, -1), axis=0)
-    labels0 = jnp.where(core_cell, jnp.clip(run_rep, 0, m - 1), m)
-
-    def step(state):
-        labels, _, it = state
-        new = jnp.where(
-            core_cell, jnp.minimum(labels, neighbor_min(labels, core_cell)), labels
+        cell_labels, _pop = cluster_cells(
+            centers, ccount, cell_alive, iota_m, eps2, cp.min_points
         )
-        # 8 pointer-jump hops per round: m-sized gathers are ~free next
-        # to an O(M^2) kernel pass, and each halving of rounds saves one
-        for _ in range(8):
-            new = jnp.where(
-                core_cell, jnp.minimum(new, new[jnp.clip(new, 0, m - 1)]), new
-            )
-        return new, jnp.any(new != labels), it + 1
+    else:
+        from pointcloudhookup_tpu.ops.pallas.cluster_converge import (
+            cluster_cells_reference,
+        )
 
-    cell_labels, _, _ = lax.while_loop(
-        lambda s: s[1] & (s[2] < 64), step, (labels0, jnp.bool_(True), jnp.int32(0))
-    )
-    border = neighbor_min(cell_labels, core_cell)
-    cell_labels = jnp.where(core_cell, cell_labels, jnp.where(cell_alive, border, m))
+        cell_labels, _pop = cluster_cells_reference(
+            centers, ccount, cell_alive, iota_m, eps2, cp.min_points
+        )
     cell_labels = compact_labels(cell_labels, jnp.int32(m))
 
     # ---- per-voxel labels: deliver each packed cell's label to its

@@ -1,0 +1,298 @@
+"""Whole-clustering-loop Pallas kernel: pop + label convergence + border
+adoption in ONE invocation.
+
+The front-end's cell-graph clustering previously ran as an XLA
+`while_loop` around the neighbor kernel: one kernel launch for the
+population pass, one per label-propagation round, one for the border
+pass — each paying launch/glue overhead and an HBM round-trip of the
+m-table.  At m=8192 every table is a few tens of KB, so the ENTIRE loop
+fits in VMEM: this kernel runs the population pass, Jacobi min-label
+rounds with an early-exit convergence flag, and the final border
+adoption inside a single program (grid=(1,)).
+
+Cell-graph diameters are tiny (eps = 2.5x the cell pitch makes cluster
+cells near-cliques) and labels are pre-seeded with the Morton-run merge,
+so convergence takes 1-3 rounds — pointer jumping is unnecessary at
+this scale.  Block-pair AABB culling (same scheme as neighbor.py) skips
+the dead-capacity and far-apart block pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 1024
+_SUB = 256
+
+
+def _kernel(
+    eps2_ref, minpts_ref, rlo_ref, rhi_ref, blo_ref, bhi_ref,  # SMEM
+    x_ref, y_ref, z_ref, w_ref, alive_ref, lab0_ref,  # VMEM in
+    lab_out, pop_out,  # VMEM out
+    cur_ref, nxt_ref, core_ref,  # VMEM scratch [m]
+    *, m: int, max_iter: int,
+):
+    nb = m // _BLOCK
+    eps2 = eps2_ref[0]
+    minpts = minpts_ref[0]
+    big_sent = jnp.int32(m)
+
+    def row_slice(ref, r):
+        return ref[pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)]
+
+    def _near(r, c):
+        rx_lo = rlo_ref[r, 0]
+        ry_lo = rlo_ref[r, 1]
+        rz_lo = rlo_ref[r, 2]
+        rx_hi = rhi_ref[r, 0]
+        ry_hi = rhi_ref[r, 1]
+        rz_hi = rhi_ref[r, 2]
+        gx = jnp.maximum(jnp.maximum(blo_ref[c, 0] - rx_hi, rx_lo - bhi_ref[c, 0]), 0.0)
+        gy = jnp.maximum(jnp.maximum(blo_ref[c, 1] - ry_hi, ry_lo - bhi_ref[c, 1]), 0.0)
+        gz = jnp.maximum(jnp.maximum(blo_ref[c, 2] - rz_hi, rz_lo - bhi_ref[c, 2]), 0.0)
+        return gx * gx + gy * gy + gz * gz <= eps2
+
+    # ---- population pass: pop[i] = sum of w over alive eps-neighbors
+    def pop_row(r, _):
+        rx = row_slice(x_ref, r)
+        ry = row_slice(y_ref, r)
+        rz = row_slice(z_ref, r)
+
+        def col(c, acc):
+            def compute(acc):
+                off = pl.multiple_of(c * _BLOCK, _BLOCK)
+                cx = x_ref[pl.ds(off, _BLOCK)]
+                cy = y_ref[pl.ds(off, _BLOCK)]
+                cz = z_ref[pl.ds(off, _BLOCK)]
+                cw = w_ref[pl.ds(off, _BLOCK)]
+                ca = alive_ref[pl.ds(off, _BLOCK)]
+                for s in range(_BLOCK // _SUB):
+                    sl = slice(s * _SUB, (s + 1) * _SUB)
+                    dx = rx[:, None] - cx[sl][None, :]
+                    dy = ry[:, None] - cy[sl][None, :]
+                    dz = rz[:, None] - cz[sl][None, :]
+                    d2 = dx * dx + dy * dy + dz * dz
+                    nbm = (d2 <= eps2) & (ca[sl] > 0)[None, :]
+                    acc = acc + jnp.sum(jnp.where(nbm, cw[sl][None, :], 0.0), axis=1)
+                return acc
+
+            return lax.cond(_near(r, c), compute, lambda a: a, acc)
+
+        acc = lax.fori_loop(0, nb, col, jnp.zeros((_BLOCK,), jnp.float32))
+        off_r = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
+        pop_out[off_r] = acc
+        ra = row_slice(alive_ref, r)
+        core = (acc >= minpts) & (ra > 0)
+        core_ref[off_r] = core.astype(jnp.int32)
+        # seed: run-merged labels on core cells, sentinel elsewhere
+        l0 = row_slice(lab0_ref, r)
+        cur_ref[off_r] = jnp.where(core, l0, big_sent)
+        return _
+
+    lax.fori_loop(0, nb, pop_row, 0)
+
+    # ---- Jacobi min-label rounds over CORE cells, early exit
+    def lmin_row(r):
+        """min label over CORE eps-neighbors of row block r (reads cur_ref)."""
+        rx = row_slice(x_ref, r)
+        ry = row_slice(y_ref, r)
+        rz = row_slice(z_ref, r)
+
+        def col(c, acc):
+            def compute(acc):
+                off = pl.multiple_of(c * _BLOCK, _BLOCK)
+                cx = x_ref[pl.ds(off, _BLOCK)]
+                cy = y_ref[pl.ds(off, _BLOCK)]
+                cz = z_ref[pl.ds(off, _BLOCK)]
+                cl = cur_ref[pl.ds(off, _BLOCK)]
+                cc = core_ref[pl.ds(off, _BLOCK)]
+                for s in range(_BLOCK // _SUB):
+                    sl = slice(s * _SUB, (s + 1) * _SUB)
+                    dx = rx[:, None] - cx[sl][None, :]
+                    dy = ry[:, None] - cy[sl][None, :]
+                    dz = rz[:, None] - cz[sl][None, :]
+                    d2 = dx * dx + dy * dy + dz * dz
+                    nbm = (d2 <= eps2) & (cc[sl] > 0)[None, :]
+                    acc = jnp.minimum(
+                        acc,
+                        jnp.min(jnp.where(nbm, cl[sl][None, :], big_sent), axis=1),
+                    )
+                return acc
+
+            return lax.cond(_near(r, c), compute, lambda a: a, acc)
+
+        return lax.fori_loop(0, nb, col, jnp.full((_BLOCK,), big_sent, jnp.int32))
+
+    def round_body(carry):
+        it, _ = carry
+
+        def one_row(r, changed):
+            lmin = lmin_row(r)
+            off = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
+            old = cur_ref[off]
+            is_core = core_ref[off] > 0
+            new = jnp.where(is_core, jnp.minimum(old, lmin), old)
+            nxt_ref[off] = new
+            return changed | jnp.any(new != old)
+
+        changed = lax.fori_loop(0, nb, one_row, jnp.bool_(False))
+
+        def copy_row(r, _):
+            off = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
+            cur_ref[off] = nxt_ref[off]
+            return _
+
+        lax.fori_loop(0, nb, copy_row, 0)
+        return it + 1, changed
+
+    lax.while_loop(
+        lambda c: c[1] & (c[0] < max_iter),
+        round_body,
+        (jnp.int32(0), jnp.bool_(True)),
+    )
+
+    # ---- border adoption: non-core alive cells take the min core
+    # neighbor's label; dead capacity rows keep the sentinel
+    def border_row(r, _):
+        lmin = lmin_row(r)
+        off = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
+        is_core = core_ref[off] > 0
+        ra = row_slice(alive_ref, r) > 0
+        lab_out[off] = jnp.where(
+            is_core, cur_ref[off], jnp.where(ra, lmin, big_sent)
+        )
+        return _
+
+    lax.fori_loop(0, nb, border_row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
+def cluster_cells(
+    centers,
+    ccount,
+    alive,
+    labels0,
+    eps2,
+    min_points,
+    *,
+    max_iter: int = 64,
+    interpret: bool = False,
+):
+    """Population + min-label convergence + border adoption, one kernel.
+
+    centers f32[M,3] (dead rows at +3e38), ccount f32[M], alive bool[M],
+    labels0 i32[M] seed labels (used on rows that turn out core).
+    Returns (labels i32[M] in [0,M) with M = no cluster, pop f32[M]).
+    M must be a multiple of 1024.
+    """
+    m = centers.shape[0]
+    if m % _BLOCK:
+        raise ValueError(f"M={m} must be a multiple of {_BLOCK}")
+    x = centers[:, 0]
+    y = centers[:, 1]
+    z = centers[:, 2]
+    big = jnp.float32(3.0e38)
+    finite = jnp.abs(x) < jnp.float32(1.0e37)
+    alw = alive.astype(bool)
+    nb = m // _BLOCK
+
+    def _bounds(v, sel):
+        vb = v.reshape(nb, _BLOCK)
+        sb = sel.reshape(nb, _BLOCK)
+        return (
+            jnp.min(jnp.where(sb, vb, big), axis=1),
+            jnp.max(jnp.where(sb, vb, -big), axis=1),
+        )
+
+    def _aabb(sel):
+        xlo, xhi = _bounds(x, sel)
+        ylo, yhi = _bounds(y, sel)
+        zlo, zhi = _bounds(z, sel)
+        return (
+            jnp.stack([xlo, ylo, zlo], axis=1),
+            jnp.stack([xhi, yhi, zhi], axis=1),
+        )
+
+    rlo, rhi = _aabb(finite)
+    blo, bhi = _aabb(alw)
+
+    kernel = functools.partial(_kernel, m=m, max_iter=max_iter)
+    labels, pop = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps2
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # minpts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rlo
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rhi
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # blo
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bhi
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # y
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # z
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # alive
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # labels0
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m,), jnp.int32),
+            jax.ShapeDtypeStruct((m,), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m,), jnp.int32),  # cur labels
+            pltpu.VMEM((m,), jnp.int32),  # next labels
+            pltpu.VMEM((m,), jnp.int32),  # core flags
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([eps2], jnp.float32),
+        jnp.asarray([min_points], jnp.float32),
+        rlo, rhi, blo, bhi,
+        x, y, z,
+        ccount.astype(jnp.float32),
+        alw.astype(jnp.int32),
+        labels0.astype(jnp.int32),
+    )
+    return labels, pop
+
+
+def cluster_cells_reference(
+    centers, ccount, alive, labels0, eps2, min_points, max_iter: int = 64
+):
+    """Pure-XLA oracle with identical semantics."""
+    m = centers.shape[0]
+    d2 = jnp.sum(
+        (centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1
+    )
+    alw = alive.astype(bool)
+    nbm_alive = (d2 <= eps2) & alw[None, :]
+    pop = jnp.sum(jnp.where(nbm_alive, ccount[None, :], 0.0), axis=1)
+    pop = jnp.where(jnp.abs(centers[:, 0]) < 1e37, pop, 0.0)
+    core = alw & (pop >= min_points)
+    labels = jnp.where(core, labels0, m)
+    nbm_core = (d2 <= eps2) & core[None, :]
+
+    def body(carry):
+        lab, _, it = carry
+        lmin = jnp.min(jnp.where(nbm_core, lab[None, :], m), axis=1)
+        new = jnp.where(core, jnp.minimum(lab, lmin), lab)
+        return new, jnp.any(new != lab), it + 1
+
+    labels, _, _ = lax.while_loop(
+        lambda c: c[1] & (c[2] < max_iter),
+        body,
+        (labels, jnp.bool_(True), jnp.int32(0)),
+    )
+    border = jnp.min(jnp.where(nbm_core, labels[None, :], m), axis=1)
+    labels = jnp.where(core, labels, jnp.where(alw, border, m))
+    return labels, pop
