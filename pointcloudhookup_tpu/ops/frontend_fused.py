@@ -144,8 +144,12 @@ def fused_downsample_ground_cluster(
         off = jnp.where(use_retry, gp.retry_offset, gp.offset)
         keep = voxel_valid & (zcol > base + off)
     elif geometric_voxels:
-        vz_s = jnp.where(voxel_valid, zcol, jnp.inf)[::16]
-        base = masked_percentile(vz_s, voxel_valid[::16], gp.percentile)
+        # /64 stride: Morton-sorted rows make this a spatially
+        # stratified 65k-at-4M sample; quantile error ~cm against the
+        # 3 m ground offset, and the sample sort drops from 2.6 ms
+        # (/16) to under 1 ms
+        vz_s = jnp.where(voxel_valid, zcol, jnp.inf)[::64]
+        base = masked_percentile(vz_s, voxel_valid[::64], gp.percentile)
     else:
         vz = jnp.where(voxel_valid, zcol, jnp.inf)
         base = masked_percentile(vz, voxel_valid, gp.percentile)
@@ -176,8 +180,10 @@ def fused_downsample_ground_cluster(
     # broadcast scan is required
     dense_start = c_start & (ctot >= jnp.int32(min_cell_points))
 
-    # packed cell index per row
-    pidx_row = jnp.cumsum(dense_start.astype(jnp.int32)) - 1
+    # packed cell index per row (global cumsum = single-segment scan,
+    # which routes through the one-pass pallas kernel on TPU)
+    first_row = jnp.zeros(n, bool).at[0].set(True)
+    pidx_row = segmented_scan(jnp.add, dense_start.astype(jnp.int32), first_row) - 1
 
     # ---- pack the dense-cell table.  pidx_row is non-decreasing and
     # increments exactly at dense starts, so packed cell j's start row is

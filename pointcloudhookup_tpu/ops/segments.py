@@ -64,16 +64,34 @@ def segment_sum_rows(values, is_start, nxt):
     return scan[end]
 
 
+_PALLAS_OP_NAMES = {jnp.add: "add", jnp.maximum: "max", jnp.minimum: "min"}
+
+
 def segmented_scan(op, values, is_start, reverse: bool = False):
     """Segmented inclusive scan of `op` (e.g. jnp.maximum) along axis 0,
     restarting at each is_start row (or segment end if reverse).
 
-    Implemented as a Hillis-Steele doubling loop of [N]-shaped shifted
-    combines (log2 N unrolled steps, each a pad/slice + where — no
-    gathers, no odd/even recursion).  The tupled associative_scan this
-    replaces emitted a recursive slice/concat graph that took MINUTES
-    of XLA compile at 4M rows; these flat steps compile in seconds and
-    every step is a fusable memcpy-speed VPU pass."""
+    On TPU, 1-D i32/f32 scans with add/max/min run as a ONE-pass Pallas
+    kernel (in-block Hillis-Steele in VMEM + a sequential-grid carry —
+    ops/pallas/segscan.py); everything else uses the XLA Hillis-Steele
+    doubling loop of [N]-shaped shifted combines (log2 N unrolled
+    steps, each a pad/slice + where — no gathers, no odd/even
+    recursion).  The tupled associative_scan both replace emitted a
+    recursive slice/concat graph that took MINUTES of XLA compile at
+    4M rows."""
+    import jax
+
+    name = _PALLAS_OP_NAMES.get(op)
+    if (
+        name is not None
+        and values.ndim == 1
+        and values.dtype in (jnp.int32, jnp.float32)
+        and values.shape[0] % 32768 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        from pointcloudhookup_tpu.ops.pallas.segscan import segmented_scan_pallas
+
+        return segmented_scan_pallas(values, is_start, op=name, reverse=reverse)
     flags = is_start
     if reverse:
         # reset flags for a backward scan are the segment-END rows
