@@ -39,7 +39,7 @@ from pointcloudhookup_tpu.ops.segments import segmented_scan
     jax.jit,
     static_argnames=(
         "params", "max_cells", "min_cell_points", "cell_shift",
-        "geometric_voxels", "emit",
+        "geometric_voxels", "emit", "return_cells_overflow",
     ),
 )
 def fused_downsample_ground_cluster(
@@ -54,6 +54,7 @@ def fused_downsample_ground_cluster(
     geometric_voxels: bool = False,
     emit: str = "xyz",
     ground_override=None,
+    return_cells_overflow: bool = False,
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
     clustering.
@@ -243,6 +244,15 @@ def fused_downsample_ground_cluster(
     )
     lab_row = segmented_scan(jnp.maximum, lab_at_start, c_start)
     labels = jnp.where(keep & (lab_row >= 0), lab_row, -1)
+    if return_cells_overflow:
+        # dense cells beyond max_cells never get packed — their points
+        # stay unlabeled.  Callers that surface quality flags ask for
+        # the dropped-cell count instead of failing silently.
+        cells_over = jnp.maximum(n_dense - jnp.int32(m), 0).astype(jnp.float32)
+        if emit == "codes":
+            return hi, lo, keep, labels, base, mn, cells_over
+        ds_xyz = jnp.where(voxel_valid[:, None], vcent, 0.0)
+        return ds_xyz, keep, labels, base, cells_over
     if emit == "codes":
         return hi, lo, keep, labels, base, mn
     ds_xyz = jnp.where(voxel_valid[:, None], vcent, 0.0)
@@ -288,9 +298,10 @@ def fused_extract_step(
     if obb == "auto":
         obb = "accum" if jax.default_backend() == "tpu" else "sort"
     if geometric_voxels:
-        hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
+        hi, lo, keep, labels, base, mn, cells_over = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=max_cells,
             min_cell_points=min_cell_points, geometric_voxels=True, emit="codes",
+            return_cells_overflow=True,
         )
         if obb == "accum":
             stats = cluster_obb_stats_accum(
@@ -305,10 +316,10 @@ def fused_extract_step(
             )
         accepted = filter_and_dedup(stats, params.filters)
         return dict(labels=labels, ground_keep=keep, base_height=base,
-                    accepted=accepted, **stats)
-    ds_xyz, keep, labels, base = fused_downsample_ground_cluster(
+                    accepted=accepted, cells_overflow=cells_over, **stats)
+    ds_xyz, keep, labels, base, cells_over = fused_downsample_ground_cluster(
         xyz, mask, params, max_cells=max_cells, min_cell_points=min_cell_points,
-        geometric_voxels=geometric_voxels,
+        geometric_voxels=geometric_voxels, return_cells_overflow=True,
     )
     stats = cluster_obb_stats(
         ds_xyz, labels, keep, max_clusters=params.max_clusters,
@@ -316,4 +327,5 @@ def fused_extract_step(
     )
     accepted = filter_and_dedup(stats, params.filters)
     return dict(labels=labels, ground_keep=keep, base_height=base,
-                accepted=accepted, ds_xyz=ds_xyz, **stats)
+                accepted=accepted, ds_xyz=ds_xyz, cells_overflow=cells_over,
+                **stats)

@@ -196,3 +196,24 @@ def test_codes_obb_points_cap_compaction_exact(corridor):
         num_angles=params.obb_angles, points_cap=128,
     )
     assert float(tiny["overflow"]) >= n_labeled - 128
+
+
+def test_cells_overflow_reported_not_silent(corridor):
+    """More dense cells than max_cells must be REPORTED via
+    cells_overflow (points in unpacked cells stay unlabeled)."""
+    from pointcloudhookup_tpu.ops.frontend_fused import fused_extract_step
+
+    pts, centers = corridor
+    origin = pts.mean(axis=0)
+    xyz, mask = pad_points((pts - origin).astype(np.float32), 8192)
+    p = _params()
+    ok = fused_extract_step(
+        jnp.asarray(xyz), jnp.asarray(mask), p,
+        max_cells=2048, min_cell_points=1, geometric_voxels=True,
+    )
+    assert float(ok["cells_overflow"]) == 0.0
+    tiny = fused_extract_step(
+        jnp.asarray(xyz), jnp.asarray(mask), p,
+        max_cells=16, min_cell_points=1, geometric_voxels=True,
+    )
+    assert float(tiny["cells_overflow"]) > 0.0
