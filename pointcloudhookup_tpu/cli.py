@@ -190,11 +190,14 @@ def cmd_render(args):
     pts = read_las(args.las).xyz()
     geoms = []
     if args.towers:
-        from pointcloudhookup_tpu.models.pipeline import extract
+        # reuse the already-decoded array instead of re-reading the LAS
+        from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
+        from pointcloudhookup_tpu.models.pipeline import extract_from_points
 
-        towers = extract(
-            args.las, log_callback=print, eps=args.eps, min_points=args.min_points
+        params = ExtractParams(
+            cluster=ClusterParams(eps=args.eps, min_points=args.min_points)
         )
+        towers, _, _ = extract_from_points(pts, params)
         geoms = tower_display_geometries(towers, preset=args.preset)
         print(f"{len(geoms)} tower boxes")
     render_to_png(
@@ -297,6 +300,10 @@ def cmd_stream_extract(args):
         hard_cap=args.capacity,
     )
     capacity = args.capacity or b.capacity
+    # device kernels (OBB accumulation, converge) block in 1024-row
+    # granules; round any explicit capacity up so --fast never trips a
+    # block-size check deep inside jit tracing
+    capacity = -(-capacity // 1024) * 1024
     print(f"governor: {b.reason}" + (" (explicit --capacity)" if args.capacity else ""))
     params = ExtractParams(
         cluster=ClusterParams(eps=args.eps, min_points=args.min_points),

@@ -247,6 +247,43 @@ def read_laz_bytes(data: bytes, path_for_err: str = "<bytes>") -> LasData:
         raise ValueError(
             f"unsupported LAZ compressor/coder {info['compressor']}/{info['coder']}"
         )
+    # the native decoder writes rows at ITS layout stride for `fmt` and
+    # assumes exactly the standard item list — validate BOTH against
+    # the file before handing it a buffer (a mismatched record_len
+    # would otherwise corrupt memory or desync the arithmetic decode)
+    want_items = _FMT_ITEMS[fmt]
+    want_len = sum(size for _, size in want_items)
+    got_items = [(typ, size) for typ, size, _ver in info["items"]]
+    if got_items != want_items:
+        raise ValueError(
+            f"unsupported LAZ item layout {got_items} for point format "
+            f"{fmt} in {path_for_err!r} (extra-bytes/custom items are not "
+            f"supported; expected {want_items})"
+        )
+    bad_ver = [v for _, _, v in info["items"] if v != 2]
+    if bad_ver:
+        raise ValueError(
+            f"unsupported LAZ item version(s) {bad_ver} in {path_for_err!r} "
+            f"(this decoder implements the version-2 contexts)"
+        )
+    if record_len != want_len:
+        raise ValueError(
+            f"LAZ record_len {record_len} does not match point format "
+            f"{fmt}'s layout ({want_len} bytes) in {path_for_err!r} — "
+            f"extra per-point bytes are not supported"
+        )
+    if info["chunk_size"] == 0xFFFFFFFF:
+        raise ValueError(
+            f"unsupported LAZ layout: variable-size chunks "
+            f"(chunk_size=0xFFFFFFFF) in {path_for_err!r}"
+        )
+    table_abs = struct.unpack_from("<q", data, point_offset)[0]
+    if table_abs < 0:
+        raise ValueError(
+            f"unsupported LAZ layout: chunk table offset -1 (table "
+            f"written after the points by a non-seekable writer) in "
+            f"{path_for_err!r}"
+        )
     raw = decode_point_section(
         data, point_offset, count, fmt, record_len, info["chunk_size"]
     )

@@ -92,7 +92,10 @@ def adaptive_cluster(
         xyz, mask, eps, min_points,
         max_cells=max_cells, min_cell_points=min_cell_points,
     )
-    labels = _filter_small_clusters(labels, min_cluster_size)
+    # label ids are compact in [0, max_cells): size the filter's label
+    # table to the FULL id space, else clusters with id >= the table
+    # size would be mis-filtered by the clipped lookup
+    labels = _filter_small_clusters(labels, min_cluster_size, max_labels=max_cells)
     core = core & (labels >= 0)
     return labels, core, eps
 

@@ -239,19 +239,31 @@ def _obb_from_accum(acc, k, num_angles):
     v_vec = jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=1)
     center_xy = cu[:, None] * u_vec + cv[:, None] * v_vec
 
-    z_lo = acc["zlo"]
-    z_hi = acc["zhi"]
+    # angle 0 projects onto (x, y): axis-aligned bounds are column 0
+    return _finalize_obb_stats(
+        counts, alive, centroid, center_xy, theta, u_vec, v_vec,
+        eu_b, ev_b,
+        acc["ulo"][:, 0], acc["uhi"][:, 0],
+        acc["vlo"][:, 0], acc["vhi"][:, 0],
+        acc["zlo"], acc["zhi"],
+        k, overflow=jnp.float32(0.0),
+    )
+
+
+def _finalize_obb_stats(
+    counts, alive, centroid, center_xy, theta, u_vec, v_vec, eu_b, ev_b,
+    x_lo, x_hi, y_lo, y_hi, z_lo, z_hi, k, overflow,
+):
+    """Shared tail of both OBB paths: canonical long-axis swap, the
+    reference's north-angle convention ((90 - atan2)% 360,
+    /root/reference/utils/tower_extraction.py:173-177), and the stats
+    dict.  PARITY-CRITICAL — keep the sort and accumulation paths on
+    this single implementation."""
+    big = jnp.float32(3.0e38)
     ez = z_hi - z_lo
     center = jnp.concatenate(
         [center_xy, ((z_hi + z_lo) * 0.5)[:, None]], axis=1
     )
-
-    # angle 0 projects onto (x, y): axis-aligned bounds are column 0
-    x_lo = acc["ulo"][:, 0]
-    x_hi = acc["uhi"][:, 0]
-    y_lo = acc["vlo"][:, 0]
-    y_hi = acc["vhi"][:, 0]
-
     swap = ev_b > eu_b
     ex = jnp.where(swap, ev_b, eu_b)
     ey = jnp.where(swap, eu_b, ev_b)
@@ -272,7 +284,7 @@ def _obb_from_accum(acc, k, num_angles):
         north_angle=jnp.where(alive, north, 0.0),
         aabb_min=jnp.where(alive[:, None], aabb_min, big),
         aabb_max=jnp.where(alive[:, None], aabb_max, -big),
-        overflow=jnp.float32(0.0),
+        overflow=overflow,
     )
 
 
@@ -370,36 +382,9 @@ def _obb_from_members(
     y_lo = jnp.min(jnp.where(member, gy, big), axis=1)
     z_hi = jnp.max(jnp.where(member, gz, -big), axis=1)
     z_lo = jnp.min(jnp.where(member, gz, big), axis=1)
-    ez = z_hi - z_lo
-    center = jnp.concatenate([center_xy, ((z_hi + z_lo) * 0.5)[:, None]], axis=1)
-
-    # ---- canonical horizontal axes: x-axis = longer horizontal extent
-    # (the variant the reference converged on for the north angle:
-    # /root/reference/test/pipei.py:300-336 projects onto the longest
-    # horizontal axis).
-    swap = ev_b > eu_b
-    ex = jnp.where(swap, ev_b, eu_b)
-    ey = jnp.where(swap, eu_b, ev_b)
-    axis = jnp.where(swap[:, None], v_vec, u_vec)
-    # north angle convention (ref: utils/tower_extraction.py:173-177):
-    # (90 - atan2(y, x) in degrees) mod 360.
-    ang_deg = jnp.degrees(jnp.arctan2(axis[:, 1], axis[:, 0]))
-    north = jnp.mod(90.0 - ang_deg, 360.0)
-
-    zero3 = jnp.zeros((k, 3), jnp.float32)
-    aabb_min = jnp.stack([x_lo, y_lo, z_lo], axis=1)
-    aabb_max = jnp.stack([x_hi, y_hi, z_hi], axis=1)
-    return dict(
-        count=counts,
-        alive=alive,
-        centroid=centroid,
-        center=jnp.where(alive[:, None], center, zero3),
-        extent=jnp.where(alive[:, None], jnp.stack([ex, ey, ez], axis=1), zero3),
-        angle=jnp.where(alive, theta + swap * (jnp.pi / 2.0), 0.0),
-        north_angle=jnp.where(alive, north, 0.0),
-        aabb_min=jnp.where(alive[:, None], aabb_min, big),
-        aabb_max=jnp.where(alive[:, None], aabb_max, -big),
-        overflow=overflow,
+    return _finalize_obb_stats(
+        counts, alive, centroid, center_xy, theta, u_vec, v_vec,
+        eu_b, ev_b, x_lo, x_hi, y_lo, y_hi, z_lo, z_hi, k, overflow,
     )
 
 

@@ -10,11 +10,14 @@ fits in VMEM: this kernel runs the population pass, Jacobi min-label
 rounds with an early-exit convergence flag, and the final border
 adoption inside a single program (grid=(1,)).
 
-Cell-graph diameters are tiny (eps = 2.5x the cell pitch makes cluster
-cells near-cliques) and labels are pre-seeded with the Morton-run merge,
-so convergence takes 1-3 rounds — pointer jumping is unnecessary at
-this scale.  Block-pair AABB culling (same scheme as neighbor.py) skips
-the dead-capacity and far-apart block pairs.
+Cell-graph diameters are tiny for compact structures (eps = 2.5x the
+cell pitch makes a tower's cells a near-clique) so convergence usually
+takes 1-3 Jacobi rounds with early exit; the iteration BOUND defaults
+to M, the worst-case chain length, so arbitrarily long thin clusters
+(conductor lines, vegetation strips) still converge correctly instead
+of silently splitting at an arbitrary cap.  Block-pair AABB culling
+(same scheme as neighbor.py) skips the dead-capacity and far-apart
+block pairs.
 """
 
 from __future__ import annotations
@@ -181,7 +184,7 @@ def cluster_cells(
     eps2,
     min_points,
     *,
-    max_iter: int = 64,
+    max_iter: int | None = None,
     interpret: bool = False,
 ):
     """Population + min-label convergence + border adoption, one kernel.
@@ -194,6 +197,9 @@ def cluster_cells(
     m = centers.shape[0]
     if m % _BLOCK:
         raise ValueError(f"M={m} must be a multiple of {_BLOCK}")
+    if max_iter is None:
+        max_iter = m  # worst-case chain length; early exit keeps the
+        # typical cost at 1-3 rounds
     x = centers[:, 0]
     y = centers[:, 1]
     z = centers[:, 2]
@@ -267,10 +273,12 @@ def cluster_cells(
 
 
 def cluster_cells_reference(
-    centers, ccount, alive, labels0, eps2, min_points, max_iter: int = 64
+    centers, ccount, alive, labels0, eps2, min_points, max_iter: int | None = None
 ):
     """Pure-XLA oracle with identical semantics."""
     m = centers.shape[0]
+    if max_iter is None:
+        max_iter = m
     d2 = jnp.sum(
         (centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1
     )

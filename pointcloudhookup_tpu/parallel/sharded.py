@@ -49,25 +49,28 @@ def tile_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
-def _global_ground_keep(xyz, mask, params, num_bins=4096):
-    """Shard-local ground filter against the GLOBAL height percentile."""
+def _global_ground_base(xyz, mask, params, num_bins=4096):
+    """GLOBAL height percentile + retry decision (psum'd): the single
+    source of the ground-cut parameters for both sharded step variants."""
     gp = params.ground
     z = xyz[:, 2]
     big = jnp.float32(3.0e38)
-    lo_local = jnp.min(jnp.where(mask, z, big))
-    hi_local = jnp.max(jnp.where(mask, z, -big))
-    lo = lax.pmin(lo_local, AXIS)
-    hi = lax.pmax(hi_local, AXIS)
-    counts = histogram_counts(z, mask, lo, hi, num_bins)
-    counts = lax.psum(counts, AXIS)
+    lo = lax.pmin(jnp.min(jnp.where(mask, z, big)), AXIS)
+    hi = lax.pmax(jnp.max(jnp.where(mask, z, -big)), AXIS)
+    counts = lax.psum(histogram_counts(z, mask, lo, hi, num_bins), AXIS)
     base = percentile_from_histogram(counts, lo, hi, gp.percentile)
-    keep = mask & (z > base + gp.offset)
-    n_keep = lax.psum(jnp.sum(keep.astype(jnp.int32)), AXIS)
-    keep = lax.cond(
-        n_keep < gp.min_points_after,
-        lambda: mask & (z > base + gp.retry_offset),
-        lambda: keep,
+    n_keep = lax.psum(
+        jnp.sum((mask & (z > base + gp.offset)).astype(jnp.int32)), AXIS
     )
+    return base, n_keep < gp.min_points_after
+
+
+def _global_ground_keep(xyz, mask, params, num_bins=4096):
+    """Shard-local ground filter against the GLOBAL height percentile."""
+    gp = params.ground
+    base, use_retry = _global_ground_base(xyz, mask, params, num_bins)
+    off = jnp.where(use_retry, gp.retry_offset, gp.offset)
+    keep = mask & (xyz[:, 2] > base + off)
     return keep, base
 
 
@@ -146,32 +149,19 @@ def make_sharded_extract(
     all_gather of [K] summaries + deterministic replicated merge."""
     n_dev = mesh.devices.size
 
-    def _ground_base(xyz, mask):
-        """Global percentile + retry decision over RAW z (psum'd)."""
-        gp = params.ground
-        z = xyz[:, 2]
-        big = jnp.float32(3.0e38)
-        lo = lax.pmin(jnp.min(jnp.where(mask, z, big)), AXIS)
-        hi = lax.pmax(jnp.max(jnp.where(mask, z, -big)), AXIS)
-        counts = lax.psum(histogram_counts(z, mask, lo, hi, 4096), AXIS)
-        base = percentile_from_histogram(counts, lo, hi, gp.percentile)
-        n_keep = lax.psum(
-            jnp.sum((mask & (z > base + gp.offset)).astype(jnp.int32)), AXIS
-        )
-        return base, n_keep < gp.min_points_after
-
     def fast_step(xyz, mask):
         from pointcloudhookup_tpu.ops.frontend_fused import (
             fused_downsample_ground_cluster,
         )
         from pointcloudhookup_tpu.ops.obb import cluster_obb_stats_accum
 
-        base, use_retry = _ground_base(xyz, mask)
+        base, use_retry = _global_ground_base(xyz, mask, params)
         cp = params.cluster
-        hi, lo, keep, labels, _, mn = fused_downsample_ground_cluster(
+        hi, lo, keep, labels, _, mn, cells_over = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=cp.max_cells if cp.max_cells <= 8192 else 8192,
             min_cell_points=cp.min_cell_points, geometric_voxels=True,
             emit="codes", ground_override=(base, use_retry),
+            return_cells_overflow=True,
         )
         stats = cluster_obb_stats_accum(
             hi, lo, labels, keep, mn, max_clusters=params.max_clusters,
@@ -186,6 +176,10 @@ def make_sharded_extract(
         accepted = filter_and_dedup(merged, params.filters)
         merged["accepted"] = accepted
         merged["base_height"] = base
+        # dense cells beyond the per-shard kernel capacity never pack —
+        # surface the total dropped-cell count instead of losing towers
+        # silently (same quality flag as the single-chip fast path)
+        merged["cells_overflow"] = lax.psum(cells_over, AXIS)
         return labels, merged
 
     def step(xyz, mask):
@@ -219,27 +213,27 @@ def make_sharded_extract(
         merged["base_height"] = base
         return labels, merged
 
+    stats_specs = dict(
+        count=P(),
+        alive=P(),
+        centroid=P(),
+        center=P(),
+        extent=P(),
+        angle=P(),
+        north_angle=P(),
+        aabb_min=P(),
+        aabb_max=P(),
+        overflow=P(),
+        accepted=P(),
+        base_height=P(),
+    )
+    if fast:
+        stats_specs["cells_overflow"] = P()
     shardmapped = jax.shard_map(
         fast_step if fast else step,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
-        out_specs=(
-            P(AXIS),
-            dict(
-                count=P(),
-                alive=P(),
-                centroid=P(),
-                center=P(),
-                extent=P(),
-                angle=P(),
-                north_angle=P(),
-                aabb_min=P(),
-                aabb_max=P(),
-                overflow=P(),
-                accepted=P(),
-                base_height=P(),
-            ),
-        ),
+        out_specs=(P(AXIS), stats_specs),
         check_vma=False,
     )
     return jax.jit(shardmapped), NamedSharding(mesh, P(AXIS))

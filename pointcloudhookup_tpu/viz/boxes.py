@@ -194,6 +194,13 @@ def subsample_for_display(points: np.ndarray, cap: int = 500_000, seed: int = 0)
     points = np.asarray(points)
     if len(points) <= cap:
         return points
+    return points[subsample_indices(len(points), cap, seed)]
+
+
+def subsample_indices(n: int, cap: int, seed: int = 0):
+    """The index set subsample_for_display would pick — use it to keep
+    per-point attributes (colors etc.) aligned with the subsample."""
+    if n <= cap:
+        return np.arange(n)
     rng = np.random.default_rng(seed)
-    idx = rng.choice(len(points), cap, replace=False)
-    return points[idx]
+    return rng.choice(n, cap, replace=False)

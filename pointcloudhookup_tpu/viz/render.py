@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pointcloudhookup_tpu.viz.boxes import subsample_for_display
+from pointcloudhookup_tpu.viz.boxes import subsample_indices
 
 # Matches the reference's VTK display cap (ui/vtk_widget.py:115-118).
 DISPLAY_CAP = 500_000
@@ -111,7 +111,10 @@ def render_scene(
     ui/vtk_widget.py:176-227) and optional "color" (r,g,b floats 0-1).
     """
     pts = np.asarray(points, np.float64).reshape(-1, 3)
-    pts = subsample_for_display(pts, cap=display_cap, seed=seed)
+    # subsample via indices so caller-supplied per-point colors stay
+    # aligned with the displayed subset
+    sub = subsample_indices(len(pts), display_cap, seed)
+    pts = pts[sub]
     # normalize geometry inputs: accept the (lines, color) tuples that
     # tower_display_geometries emits, or {"lines": ..., "color": ...}
     geometries = [
@@ -121,7 +124,7 @@ def render_scene(
     if point_colors is None and len(pts):
         point_colors = height_colormap(pts[:, 2])
     elif point_colors is not None:
-        point_colors = np.asarray(point_colors, np.uint8).reshape(-1, 3)
+        point_colors = np.asarray(point_colors, np.uint8).reshape(-1, 3)[sub]
 
     # scene bounds over points AND geometry, like the widget's auto-fit
     all_min = pts.min(axis=0) if len(pts) else np.zeros(3)
