@@ -145,12 +145,12 @@ def fused_downsample_ground_cluster(
         off = jnp.where(use_retry, gp.retry_offset, gp.offset)
         keep = voxel_valid & (zcol > base + off)
     elif geometric_voxels:
-        # /64 stride: Morton-sorted rows make this a spatially
-        # stratified 65k-at-4M sample; quantile error ~cm against the
-        # 3 m ground offset, and the sample sort drops from 2.6 ms
-        # (/16) to under 1 ms
-        vz_s = jnp.where(voxel_valid, zcol, jnp.inf)[::64]
-        base = masked_percentile(vz_s, voxel_valid[::64], gp.percentile)
+        # /256 stride: Morton-sorted rows make this a spatially
+        # stratified 16k-at-4M sample; quantile error stays ~cm against
+        # the 3 m ground offset (the /16 sample sort cost 2.6 ms — more
+        # than every segmented scan combined)
+        vz_s = jnp.where(voxel_valid, zcol, jnp.inf)[::256]
+        base = masked_percentile(vz_s, voxel_valid[::256], gp.percentile)
     else:
         vz = jnp.where(voxel_valid, zcol, jnp.inf)
         base = masked_percentile(vz, voxel_valid, gp.percentile)
