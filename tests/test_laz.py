@@ -143,3 +143,73 @@ def test_laz_extract_pipeline(tmp_path):
     write_laz(las, p)
     towers = pipeline.extract(str(p), eps=5.0, min_points=30)
     assert len(towers) == len(centers)
+
+
+def test_laz_rejects_mismatched_record_len(tmp_path, rng):
+    """A record_len that disagrees with the format layout must raise a
+    clear error BEFORE any native decode (buffer-safety guard)."""
+    import pytest
+
+    from pointcloudhookup_tpu.io.laz import read_laz_bytes
+
+    las = _make(1, 100, rng)
+    p = str(tmp_path / "a.laz")
+    write_laz(las, p)
+    data = bytearray(open(p, "rb").read())
+    import struct
+    struct.pack_into("<H", data, 105, 30)  # claim 30-byte records (true: 28)
+    with pytest.raises(ValueError, match="record_len 30"):
+        read_laz_bytes(bytes(data), "a.laz")
+
+
+def test_laz_rejects_unsupported_chunking(tmp_path, rng):
+    """Variable-size chunks and table-offset -1 are spec-legal layouts
+    this decoder does not support — the error must say so, not claim
+    corruption."""
+    import struct
+
+    import pytest
+
+    from pointcloudhookup_tpu.io.laz import read_laz_bytes
+
+    las = _make(0, 100, rng)
+    p = str(tmp_path / "b.laz")
+    write_laz(las, p)
+    raw = open(p, "rb").read()
+
+    # chunk table offset -1 (non-seekable writer layout)
+    data = bytearray(raw)
+    header_size, point_offset, _ = struct.unpack_from("<HII", data, 94)
+    struct.pack_into("<q", data, point_offset, -1)
+    with pytest.raises(ValueError, match="chunk table offset -1"):
+        read_laz_bytes(bytes(data), "b.laz")
+
+    # variable-size chunks: patch chunk_size inside the LASzip VLR
+    data = bytearray(raw)
+    vlr = data[header_size:point_offset]
+    pos = 0
+    while pos + 54 <= len(vlr):
+        user_id, record_id, length = struct.unpack_from("<16sHH", vlr, pos + 2)
+        if user_id.rstrip(b"\x00") == b"laszip encoded":
+            # chunk_size sits at offset 12 of the record payload
+            struct.pack_into("<I", data, header_size + pos + 54 + 12, 0xFFFFFFFF)
+            break
+        pos += 54 + length
+    with pytest.raises(ValueError, match="variable-size chunks"):
+        read_laz_bytes(bytes(data), "b.laz")
+
+
+def test_render_point_colors_stay_aligned_past_display_cap(rng):
+    """Caller-supplied colors must follow the display subsample."""
+    from pointcloudhookup_tpu.viz.render import render_scene
+
+    n = 3000
+    pts = rng.uniform(-10, 10, size=(n, 3))
+    colors = np.zeros((n, 3), np.uint8)
+    colors[:, 0] = 255  # all red
+    img = render_scene(
+        pts, width=120, height=90, display_cap=500,
+        point_colors=colors, background=(0, 0, 0),
+    )
+    lit = img.reshape(-1, 3)[img.reshape(-1, 3).sum(axis=1) > 0]
+    assert len(lit) > 0 and (lit[:, 0] == 255).all()  # only red pixels
