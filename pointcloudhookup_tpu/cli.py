@@ -84,7 +84,8 @@ def cmd_extract(args):
     from pointcloudhookup_tpu.models.pipeline import extract
 
     params = None
-    if getattr(args, "per_chunk", False):
+    method = getattr(args, "cluster_method", "auto")
+    if getattr(args, "per_chunk", False) or method != "auto":
         from pointcloudhookup_tpu.config import (
             ClusterParams,
             ExtractParams,
@@ -93,7 +94,9 @@ def cmd_extract(args):
 
         params = ExtractParams(
             cluster=ClusterParams(
-                eps=args.eps, min_points=args.min_points, per_chunk=True
+                eps=args.eps, min_points=args.min_points,
+                per_chunk=getattr(args, "per_chunk", False),
+                method=method,
             ),
             filters=TowerFilterParams(
                 aspect_ratio_threshold=args.aspect_ratio_threshold,
@@ -377,6 +380,12 @@ def main(argv=None):
         sp.add_argument("--max-width", type=float, default=50.0)
         sp.add_argument("--min-width", type=float, default=8.0)
         sp.add_argument("--duplicate-threshold", type=float, default=30.0)
+        sp.add_argument(
+            "--cluster-method", default="auto",
+            choices=["auto", "exact", "grid", "adaptive"],
+            help="clustering backend; 'adaptive' derives eps from the data "
+                 "(the reference's HDBSCAN-path analogue)",
+        )
 
     sp = sub.add_parser("extract", help="extract towers from a LAS tile")
     sp.add_argument("las")

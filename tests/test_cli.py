@@ -58,6 +58,17 @@ def test_cli_compress_and_extract(workspace, capsys, tmp_path):
     assert out.count("tower_") == len(centers)
 
 
+def test_cli_extract_adaptive_method(workspace, capsys, tmp_path):
+    """--cluster-method adaptive (knob-free eps) finds the towers."""
+    tmp, las, gim, centers = workspace
+    ds = str(tmp_path / "ds.las")
+    main(["compress", las, ds, "--voxel-size", "0.1"])
+    capsys.readouterr()
+    main(["extract", ds, "--min-points", "30", "--cluster-method", "adaptive"])
+    out = capsys.readouterr().out
+    assert out.count("tower_") == len(centers)
+
+
 def test_cli_correct_save(workspace, capsys, tmp_path):
     tmp, las, gim, centers = workspace
     out_gim = str(tmp_path / "corrected.gim")
