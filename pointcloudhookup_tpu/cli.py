@@ -309,7 +309,10 @@ def cmd_stream_extract(args):
     capacity = -(-capacity // 1024) * 1024
     print(f"governor: {b.reason}" + (" (explicit --capacity)" if args.capacity else ""))
     params = ExtractParams(
-        cluster=ClusterParams(eps=args.eps, min_points=args.min_points),
+        cluster=ClusterParams(
+            eps=args.eps, min_points=args.min_points,
+            method=getattr(args, "cluster_method", "auto"),
+        ),
         filters=TowerFilterParams(
             aspect_ratio_threshold=args.aspect_ratio_threshold,
             min_height=args.min_height,
