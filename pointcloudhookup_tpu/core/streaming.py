@@ -53,10 +53,20 @@ class TileStreamer:
         prefetch: int = 1,
         max_memory_percent: float = 30.0,
         wire: str = "f32",
+        max_pitch: Optional[float] = 0.05,
     ):
         if wire not in ("f32", "u16"):
             raise ValueError(f"wire must be 'f32' or 'u16', got {wire!r}")
         self.wire = wire
+        # u16 lattice pitch guard: a sparse/long chunk (e.g. a corridor
+        # spanning >~6.5 km per 65535 steps at 0.1 m voxels) would get a
+        # quantization step coarser than the voxel grid and silently
+        # shift voxel assignments.  Chunks whose pitch (extent/65535 on
+        # the widest axis) exceeds max_pitch fall back to exact f32
+        # transport; None disables the guard.  0.05 m = half the 0.1 m
+        # extraction voxel (quantization noise stays sub-voxel; the
+        # 2 km-tile operating point at ~3 cm pitch keeps the u16 wire).
+        self.max_pitch = max_pitch
         self.sources = list(sources)
         self.origin = None if origin is None else np.asarray(origin, np.float64)
         self.device = device
@@ -110,10 +120,14 @@ class TileStreamer:
             chunk.mean(axis=0) if len(chunk) else np.zeros(3)
         )
         n = len(chunk)
-        if self.wire == "u16":
+        wire = self.wire
+        if wire == "u16":
             lo = chunk.min(axis=0) if n else np.zeros(3)
             hi = chunk.max(axis=0) if n else np.zeros(3)
             scale = np.maximum((hi - lo) / 65535.0, 1e-9)
+            if self.max_pitch is not None and float(scale.max()) > self.max_pitch:
+                wire = "f32"  # lattice too coarse for this chunk: go exact
+        if wire == "u16":
             q = np.zeros((self.capacity, 3), np.uint16)
             if n:
                 q[:n] = np.clip(np.rint((chunk - lo) / scale), 0, 65535)
@@ -136,7 +150,7 @@ class TileStreamer:
             if self.device is not None:
                 xa = jax.device_put(xa, self.device)
                 ma = jax.device_put(ma, self.device)
-        meta = dict(meta, origin=origin)
+        meta = dict(meta, origin=origin, wire=wire)
         return xa, ma, meta
 
     def __iter__(self):
@@ -173,6 +187,8 @@ def stream_extract(
     fetch_labels: bool = False,
     wire: str = "u16",
     fast: bool = False,
+    prefetch: int = 1,
+    timings: bool = False,
 ):
     """Run the extraction step over streamed tiles; returns a list of
     per-tile (stats dict numpy, meta).  One-tile prefetch keeps the
@@ -202,7 +218,12 @@ def stream_extract(
 
     point_sized = ("labels", "ground_keep", "ds_xyz")
     results = []
-    for xyz, mask, meta in TileStreamer(sources, capacity, origin=origin, wire=wire):
+    import time as _time
+
+    for xyz, mask, meta in TileStreamer(
+        sources, capacity, origin=origin, wire=wire, prefetch=prefetch
+    ):
+        t0 = _time.perf_counter() if timings else 0.0
         stats = step(xyz, mask)
         out = {}
         for k, v in stats.items():
@@ -210,5 +231,10 @@ def stream_extract(
                 out[k] = v  # leave on device
             else:
                 out[k] = np.asarray(v)
+        if timings:
+            # wall time of dispatch + the host-blocking [K] fetches —
+            # the consumer-side budget a prefetch depth must cover for
+            # the producer to stay ahead (on-PCIe tuning hook)
+            meta = dict(meta, step_seconds=_time.perf_counter() - t0)
         results.append((out, meta))
     return results

@@ -123,6 +123,7 @@ def extract_step(xyz, mask, params: ExtractParams = ExtractParams()):
             xyz, keep, cp.min_points,
             min_cluster_size=cp.min_cluster_size,
             max_cells=cp.max_cells, min_cell_points=cp.min_cell_points,
+            eps_fallback=cp.eps,
         )
     elif cp.method == "grid" or (
         cp.method == "auto" and n > cp.auto_grid_threshold

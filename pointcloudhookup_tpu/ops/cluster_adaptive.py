@@ -67,10 +67,18 @@ def adaptive_cluster(
     eps_quantile: float = 60.0,
     eps_floor: float = 0.5,
     eps_ceil: float = 64.0,
+    eps_fallback: float | None = None,
 ):
     """HDBSCAN-analogue: data-derived eps + min-cluster-size filtering.
 
     Returns (labels i32[N] compact ids / -1 noise, core bool[N], eps).
+
+    When the subsample has fewer than k valid points (sparse tiles) the
+    k-th-NN core distances are inf and the estimate saturates; rather
+    than silently clustering at the 64 m ceiling (which can merge
+    unrelated structures), a non-finite or ceiling-saturated estimate
+    falls back to `eps_fallback` (the configured DBSCAN eps) when one is
+    supplied.
     """
     from pointcloudhookup_tpu.ops.cluster_grid import grid_dbscan
 
@@ -85,8 +93,11 @@ def adaptive_cluster(
     # k = min_samples): eps* must be the distance at which a min_points
     # neighborhood actually fills, else downstream DBSCAN finds no cores
     k = max(1, min(int(round(min_points * ratio)), 128))
-    eps = estimate_eps(xyz, mask, k=k, quantile=eps_quantile)
-    eps = jnp.clip(eps, eps_floor, eps_ceil)
+    eps_raw = estimate_eps(xyz, mask, k=k, quantile=eps_quantile)
+    eps = jnp.clip(eps_raw, eps_floor, eps_ceil)
+    if eps_fallback is not None:
+        bad = ~jnp.isfinite(eps_raw) | (eps_raw >= jnp.float32(eps_ceil))
+        eps = jnp.where(bad, jnp.float32(eps_fallback), eps)
 
     labels, core = grid_dbscan(
         xyz, mask, eps, min_points,

@@ -145,12 +145,15 @@ def fused_downsample_ground_cluster(
         off = jnp.where(use_retry, gp.retry_offset, gp.offset)
         keep = voxel_valid & (zcol > base + off)
     elif geometric_voxels:
-        # /256 stride: Morton-sorted rows make this a spatially
-        # stratified 16k-at-4M sample; quantile error stays ~cm against
-        # the 3 m ground offset (the /16 sample sort cost 2.6 ms — more
-        # than every segmented scan combined)
-        vz_s = jnp.where(voxel_valid, zcol, jnp.inf)[::256]
-        base = masked_percentile(vz_s, voxel_valid[::256], gp.percentile)
+        # strided sample: Morton-sorted rows make this a spatially
+        # stratified ~16k sample at any n; quantile error stays ~cm
+        # against the 3 m ground offset (a /16 sample sort cost 2.6 ms —
+        # more than every segmented scan combined).  The stride scales
+        # with the row count so small tiles keep a dense sample
+        # (>=n/16 rows) instead of a fixed /256 decimation.
+        stride = max(n >> 14, 16)
+        vz_s = jnp.where(voxel_valid, zcol, jnp.inf)[::stride]
+        base = masked_percentile(vz_s, voxel_valid[::stride], gp.percentile)
     else:
         vz = jnp.where(voxel_valid, zcol, jnp.inf)
         base = masked_percentile(vz, voxel_valid, gp.percentile)

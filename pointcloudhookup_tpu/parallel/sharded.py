@@ -134,6 +134,7 @@ def make_sharded_extract(
     params: ExtractParams = ExtractParams(),
     merge_radius: float = 6.0,
     fast: bool = False,
+    fast_max_cells: int | None = None,
 ):
     """Build the jitted multi-chip extraction step.
 
@@ -146,8 +147,39 @@ def make_sharded_extract(
     accumulation — against the GLOBAL psum'd ground percentile (the
     per-shard base/retry decision is replicated, so every shard applies
     the identical cut).  The collective structure is unchanged:
-    all_gather of [K] summaries + deterministic replicated merge."""
+    all_gather of [K] summaries + deterministic replicated merge.
+
+    The fused fast path keeps its dense 3.2 m-cell table (NOT the
+    modular grid path's 0.1 m-cell table, so ClusterParams.max_cells —
+    default 65536, sized for the latter — does not transfer 1:1) at its
+    own default of 8192 entries.  Pass `fast_max_cells` (a multiple of
+    1024) to size it explicitly for dense corridors; when
+    ClusterParams.max_cells was set BELOW the fused default it is
+    honored, and any clamp of a larger request is warned about at build
+    time rather than applied silently."""
     n_dev = mesh.devices.size
+
+    _FUSED_DEFAULT_CELLS = 8192
+    if fast:
+        cp0 = params.cluster
+        if fast_max_cells is not None:
+            if fast_max_cells % 1024:
+                raise ValueError("fast_max_cells must be a multiple of 1024")
+            fused_cells = fast_max_cells
+        elif cp0.max_cells <= _FUSED_DEFAULT_CELLS:
+            fused_cells = cp0.max_cells
+        else:
+            fused_cells = _FUSED_DEFAULT_CELLS
+            if cp0.max_cells != 65536:  # non-default: the caller meant it
+                import warnings
+
+                warnings.warn(
+                    f"sharded fast path: ClusterParams.max_cells={cp0.max_cells} "
+                    f"exceeds the fused cell-table default {_FUSED_DEFAULT_CELLS}; "
+                    "clamping. Pass fast_max_cells to size the fused table "
+                    "explicitly.",
+                    stacklevel=2,
+                )
 
     def fast_step(xyz, mask):
         from pointcloudhookup_tpu.ops.frontend_fused import (
@@ -158,7 +190,7 @@ def make_sharded_extract(
         base, use_retry = _global_ground_base(xyz, mask, params)
         cp = params.cluster
         hi, lo, keep, labels, _, mn, cells_over = fused_downsample_ground_cluster(
-            xyz, mask, params, max_cells=cp.max_cells if cp.max_cells <= 8192 else 8192,
+            xyz, mask, params, max_cells=fused_cells,
             min_cell_points=cp.min_cell_points, geometric_voxels=True,
             emit="codes", ground_override=(base, use_retry),
             return_cells_overflow=True,

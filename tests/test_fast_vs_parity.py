@@ -59,6 +59,25 @@ def _towers(xyz, mask, params, *, geometric, max_cells=8192):
     )
 
 
+def test_fast_mode_matches_parity_mode_small(rng):
+    """Reduced-size twin of the @slow scale test so the fast-mode bound
+    runs in default CI (ADVICE r2: the only bound was slow-marked)."""
+    n = 1 << 17
+    xyz, mask, true_centers = _corridor(rng, n)
+    params = ExtractParams(cluster=ClusterParams())
+
+    fast_cg, fast_c, _ = _towers(xyz, mask, params, geometric=True)
+    exact_cg, exact_c, _ = _towers(xyz, mask, params, geometric=False)
+    assert len(fast_c) == len(exact_c) == len(true_centers)
+    used = set()
+    for cg in fast_cg:
+        d = np.linalg.norm(exact_cg - cg, axis=1)
+        j = int(np.argmin(d))
+        assert j not in used
+        used.add(j)
+        assert d[j] < 0.5
+
+
 @pytest.mark.slow
 def test_fast_mode_matches_parity_mode_at_scale(rng):
     """geometric+strided fast mode vs exact mode on a 1M corridor:

@@ -216,3 +216,61 @@ def test_native_las_codec_matches_python(tmp_path, rng):
     np.testing.assert_allclose(part, got[100:150], atol=0)
     tail = las_read_xyz_range(p, 770, 100)
     assert tail.shape == (7, 3)
+
+
+def test_tile_streamer_u16_pitch_guard(rng):
+    """A chunk spanning >~3.3 km gets a u16 lattice pitch coarser than
+    half the extraction voxel; the streamer must fall back to exact f32
+    transport for that chunk (ADVICE r2 medium) and say so in meta."""
+    wide = rng.uniform(0, 8000, size=(600, 3))  # pitch ~0.12 m > 0.05
+    narrow = rng.uniform(0, 1000, size=(600, 3))  # pitch ~0.015 m
+    out = list(
+        TileStreamer([wide, narrow], capacity=1024, origin=np.zeros(3), wire="u16")
+    )
+    assert out[0][2]["wire"] == "f32"
+    assert out[1][2]["wire"] == "u16"
+    # the guarded chunk is byte-exact (f32), not lattice-quantized
+    np.testing.assert_allclose(
+        np.asarray(out[0][0], np.float64)[:600], wide, atol=1e-2
+    )
+    # guard can be disabled
+    off = list(
+        TileStreamer(
+            [wide], capacity=1024, origin=np.zeros(3), wire="u16", max_pitch=None
+        )
+    )
+    assert off[0][2]["wire"] == "u16"
+
+
+def test_stream_extract_timings_hook(rng):
+    from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
+
+    pts, _ = synthetic_corridor(
+        rng, n_ground=2000, n_veg=200, pts_per_tower=200, extent=200.0
+    )
+    params = ExtractParams(cluster=ClusterParams(eps=5.0, min_points=30))
+    res = stream_extract(
+        [pts], capacity=8192, params=params, prefetch=2, timings=True
+    )
+    assert all(m["step_seconds"] > 0 for _, m in res)
+
+
+def test_adaptive_eps_fallback_on_sparse_tile(rng):
+    """Sparse tiles (< k valid subsample points) must not silently
+    cluster at the 64 m eps ceiling (ADVICE r2 low)."""
+    import jax.numpy as jnp
+
+    from pointcloudhookup_tpu.ops.cluster_adaptive import adaptive_cluster
+
+    # two tight blobs 40 m apart with so few points the k-th-NN probe
+    # saturates -> without the fallback they'd merge at eps=64
+    a = rng.normal(scale=0.5, size=(6, 3)).astype(np.float32)
+    b = a + np.array([40.0, 0, 0], np.float32)
+    xyz = np.zeros((256, 3), np.float32)
+    xyz[:6], xyz[6:12] = a, b
+    mask = np.zeros(256, bool)
+    mask[:12] = True
+    _, _, eps = adaptive_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), min_points=20, eps_fallback=8.0
+    )
+    assert float(eps) == 8.0
