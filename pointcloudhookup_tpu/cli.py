@@ -138,9 +138,36 @@ def _load_towers_for_match(args):
 def cmd_match(args, corrected: bool = False):
     from pointcloudhookup_tpu.models import pipeline
 
-    records, folder, towers = _load_towers_for_match(args)
-    fn = pipeline.correct if corrected else pipeline.match
-    res = fn(records, towers, region_n_value=args.region_n_value)
+    use_icp = corrected and getattr(args, "icp", False)
+    if use_icp:
+        # labels-aware extraction: ONE pass yields both the tower list
+        # and per-point labels, so each matched tower's member cloud
+        # feeds the ICP refinement
+        from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
+        from pointcloudhookup_tpu.io.las import read_las
+        from pointcloudhookup_tpu.models.pipeline import extract_from_points
+
+        records, folder, _ = pipeline.import_gim(args.gim, args.output_folder)
+        pts = read_las(args.las).xyz()
+        params = ExtractParams(
+            cluster=ClusterParams(eps=args.eps, min_points=args.min_points)
+        )
+        towers, stats, _origin = extract_from_points(pts, params)
+        print(f"extraction complete: {len(towers)} towers")
+        labels = stats["labels"][: len(pts)]
+        clouds = [pts[labels == t.label] for t in towers]
+        res = pipeline.correct(
+            records, towers, region_n_value=args.region_n_value,
+            icp=True, pc_clouds=clouds, icp_iters=args.icp_iters,
+            icp_max_corr_dist=args.icp_max_corr_dist,
+        )
+        for c in res.converted_towers:
+            if c.icp_rmse is not None:
+                print(f"  {c.id}: icp rmse {c.icp_rmse:.3f} m")
+    else:
+        records, folder, towers = _load_towers_for_match(args)
+        fn = pipeline.correct if corrected else pipeline.match
+        res = fn(records, towers, region_n_value=args.region_n_value)
     print(f"{len(res.pairs)} pairs matched")
     for gi, pi in res.pairs:
         print(f"  GIM[{gi}] {res.gim_rows[gi][0]} <-> PC[{pi}] {res.pc_rows[pi][0]}")
@@ -412,6 +439,13 @@ def main(argv=None):
         sp.add_argument("--html", help="write the highlighted review page")
         if corrected:
             sp.add_argument("--save", help="write the corrected .gim here")
+            sp.add_argument(
+                "--icp", action="store_true",
+                help="refine matched tower positions with batched ICP "
+                "against an idealized pylon frame before write-back",
+            )
+            sp.add_argument("--icp-iters", type=int, default=30)
+            sp.add_argument("--icp-max-corr-dist", type=float, default=2.0)
         sp.set_defaults(fn=lambda a, c=corrected: cmd_match(a, c))
 
     sp = sub.add_parser("reproject", help="EPSG:4547 -> WGS84 whole-LAS transform")

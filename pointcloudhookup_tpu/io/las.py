@@ -162,8 +162,12 @@ def make_las(
     offsets: Optional[np.ndarray] = None,
     point_format: int = 0,
     version: tuple[int, int] = (1, 2),
+    vlr_bytes: bytes = b"",
+    num_vlrs: int = 0,
 ) -> LasData:
-    """Build a LasData from world coordinates f64[N,3]."""
+    """Build a LasData from world coordinates f64[N,3].  Pass the source
+    file's vlr_bytes/num_vlrs to carry CRS and other VLR metadata
+    through derived outputs."""
     xyz = np.asarray(xyz, np.float64).reshape(-1, 3)
     if scales is None:
         scales = np.array([0.001, 0.001, 0.001])
@@ -178,7 +182,10 @@ def make_las(
     points["X"] = rec[:, 0].astype(np.int64)
     points["Y"] = rec[:, 1].astype(np.int64)
     points["Z"] = rec[:, 2].astype(np.int64)
-    return LasData(points, scales, offsets, point_format, version)
+    return LasData(
+        points, scales, offsets, point_format, version,
+        vlr_bytes=vlr_bytes, num_vlrs=num_vlrs,
+    )
 
 
 def write_las(las: LasData, path) -> None:

@@ -7,7 +7,9 @@ neither is available here, so this module implements the subset of the
 
   read:  archives whose folders are linear coder chains of
          Copy / LZMA1 / LZMA2 / Delta / BCJ-x86 (covers 7z CLI defaults
-         and py7zr's LZMA2 + COPY modes); plain or encoded headers.
+         and py7zr's LZMA2 + COPY modes), plus BCJ2 folders (the
+         4-stream x86 branch converter, via the general coder-graph
+         resolver); plain or encoded headers.
   write: single-folder archives, LZMA2-compressed (or Copy/store),
          with names, sizes, CRCs, and directory/empty-file entries.
 
@@ -56,6 +58,7 @@ CODEC_LZMA2 = b"\x21"
 CODEC_LZMA1 = b"\x03\x01\x01"
 CODEC_BCJ_X86 = b"\x03\x03\x01\x03"
 CODEC_BCJ_X86_NEW = b"\x04"
+CODEC_BCJ2 = b"\x03\x03\x01\x1b"
 
 FILE_ATTRIBUTE_DIRECTORY = 0x10
 FILE_ATTRIBUTE_ARCHIVE = 0x20
@@ -66,15 +69,22 @@ class SevenZipError(ValueError):
 
 
 # ---------------------------------------------------------------- numbers
+def _read_byte(f: BinaryIO) -> int:
+    b = f.read(1)
+    if not b:  # truncated header: surface as a clean format error
+        raise SevenZipError("unexpected end of header data")
+    return b[0]
+
+
 def read_number(f: BinaryIO) -> int:
-    first = f.read(1)[0]
+    first = _read_byte(f)
     mask = 0x80
     value = 0
     for i in range(8):
         if not (first & mask):
             value |= (first & (mask - 1)) << (8 * i)
             return value
-        value |= f.read(1)[0] << (8 * i)
+        value |= _read_byte(f) << (8 * i)
         mask >>= 1
     return value
 
@@ -96,13 +106,20 @@ def write_number(value: int) -> bytes:
     return bytes([mask | high]) + low.to_bytes(n, "little")
 
 
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    b = f.read(n)
+    if len(b) != n:
+        raise SevenZipError("unexpected end of header data")
+    return b
+
+
 def _read_bits(f: BinaryIO, count: int) -> list[bool]:
     bits = []
     b = 0
     avail = 0
     for _ in range(count):
         if not avail:
-            b = f.read(1)[0]
+            b = _read_byte(f)
             avail = 8
         bits.append(bool(b & 0x80))
         b = (b << 1) & 0xFF
@@ -126,7 +143,7 @@ def _write_bits(bits: Iterable[bool]) -> bytes:
 
 
 def _read_all_or_bits(f: BinaryIO, count: int) -> list[bool]:
-    all_defined = f.read(1)[0]
+    all_defined = _read_byte(f)
     if all_defined:
         return [True] * count
     return _read_bits(f, count)
@@ -224,11 +241,166 @@ def _python_filter(coder: Coder) -> dict:
     raise SevenZipError(f"unsupported codec id {cid.hex()}")
 
 
+def _bcj2_decode(main: bytes, call: bytes, jump: bytes, rc: bytes, out_size: int) -> bytes:
+    """BCJ2 (4-stream x86 branch converter) decoder, from the published
+    7-Zip method spec (coder id 0303011B).
+
+    Output bytes copy from `main`; after an 0xE8/0xE9/0F 8x opcode a
+    range-decoded bit (LZMA-style binary coder, 11-bit model, context =
+    previous byte for E8, 256 for E9, 257 for Jcc) says whether the next
+    four output bytes are a big-endian ABSOLUTE address stored in `call`
+    or `jump`, converted back to the little-endian relative displacement
+    x86 actually encodes."""
+    probs = [1024] * (2 + 256)
+    if len(rc) < 5:
+        raise SevenZipError("BCJ2 control stream truncated")
+    rng = 0xFFFFFFFF
+    code = int.from_bytes(rc[1:5], "big")
+    rcp = 5
+
+    def decode_bit(i: int) -> int:
+        nonlocal rng, code, rcp
+        bound = (rng >> 11) * probs[i]
+        if code < bound:
+            rng = bound
+            probs[i] += (2048 - probs[i]) >> 5
+            bit = 0
+        else:
+            rng -= bound
+            code -= bound
+            probs[i] -= probs[i] >> 5
+            bit = 1
+        if rng < (1 << 24):
+            rng = (rng << 8) & 0xFFFFFFFF
+            nxt = rc[rcp] if rcp < len(rc) else 0
+            code = ((code << 8) | nxt) & 0xFFFFFFFF
+            rcp += 1
+        return bit
+
+    out = bytearray()
+    mp = cp = jp = 0
+    prev = 0
+    while len(out) < out_size:
+        if mp >= len(main):
+            raise SevenZipError("BCJ2 main stream truncated")
+        b = main[mp]
+        mp += 1
+        out.append(b)
+        is_branch = (b & 0xFE) == 0xE8 or (prev == 0x0F and (b & 0xF0) == 0x80)
+        if is_branch:
+            # a prob bit is coded for EVERY branch byte (the encoder
+            # emits bit=0 for branches it did not convert), so the bit
+            # must be decoded unconditionally to stay in sync
+            idx = prev if b == 0xE8 else (256 if b == 0xE9 else 257)
+            if decode_bit(idx):
+                if b == 0xE8:
+                    src, sp = call, cp
+                    cp += 4
+                else:
+                    src, sp = jump, jp
+                    jp += 4
+                if sp + 4 > len(src):
+                    raise SevenZipError("BCJ2 address stream truncated")
+                if len(out) + 4 > out_size:
+                    raise SevenZipError("BCJ2 address crosses output end")
+                absolute = int.from_bytes(src[sp : sp + 4], "big")
+                rel = (absolute - (len(out) + 4)) & 0xFFFFFFFF
+                out += rel.to_bytes(4, "little")
+                prev = (rel >> 24) & 0xFF
+                continue
+        prev = b
+    return bytes(out)
+
+
+def _decode_one_coder(coder: Coder, inputs: list[bytes], out_size: int) -> bytes:
+    """Decode a SINGLE coder given its already-decoded input streams
+    (used by the general multi-stream folder path)."""
+    cid = coder.codec_id
+    if cid == CODEC_COPY:
+        return inputs[0][:out_size]
+    if cid == CODEC_BCJ2:
+        if len(inputs) != 4:
+            raise SevenZipError("BCJ2 requires 4 input streams")
+        return _bcj2_decode(*inputs, out_size)
+    if cid == CODEC_DELTA:
+        dist = (coder.props[0] + 1) if coder.props else 1
+        data = bytearray(inputs[0][:out_size])
+        for i in range(dist, len(data)):
+            data[i] = (data[i] + data[i - dist]) & 0xFF
+        return bytes(data)
+    if cid in (CODEC_LZMA1, CODEC_LZMA2):
+        dec = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW, filters=[_python_filter(coder)]
+        )
+        try:
+            out = dec.decompress(inputs[0], max_length=out_size)
+            while len(out) < out_size and not dec.eof:
+                chunk = dec.decompress(b"", max_length=out_size - len(out))
+                if not chunk:
+                    break
+                out += chunk
+        except lzma.LZMAError as exc:
+            raise SevenZipError(f"coder decode failed: {exc}") from exc
+        if len(out) < out_size:
+            raise SevenZipError(f"coder produced {len(out)} of {out_size} bytes")
+        return out[:out_size]
+    raise SevenZipError(
+        f"codec id {cid.hex()} not supported in multi-stream folders"
+    )
+
+
+def _decode_folder_general(folder: Folder, packed: list[bytes]) -> bytes:
+    """Decode a folder whose coder graph is NOT a linear 1-in-1-out
+    chain (BCJ2's 4-input converter being the real-world case,
+    7z CLI x86 default: main/call/jump LZMA legs + a raw control leg).
+    Streams are resolved recursively from the final output."""
+    in_base, out_base = [], []
+    ti = to = 0
+    for c in folder.coders:
+        in_base.append(ti)
+        out_base.append(to)
+        ti += c.num_in
+        to += c.num_out
+    bound = dict(folder.bind_pairs)  # in_index -> out_index
+    packed_of_in = {gi: k for k, gi in enumerate(folder.packed_indices)}
+    if len(packed) != len(folder.packed_indices):
+        raise SevenZipError("pack stream count mismatch")
+    memo: dict[int, bytes] = {}
+    busy: set[int] = set()
+
+    def out_stream(oi: int) -> bytes:
+        if oi in memo:
+            return memo[oi]
+        if oi in busy:
+            raise SevenZipError("cyclic coder binding")
+        busy.add(oi)
+        ci = 0
+        for i, ob in enumerate(out_base):
+            if ob <= oi:
+                ci = i
+        c = folder.coders[ci]
+        ins = []
+        for k in range(c.num_in):
+            gi = in_base[ci] + k
+            if gi in bound:
+                ins.append(out_stream(bound[gi]))
+            elif gi in packed_of_in:
+                ins.append(packed[packed_of_in[gi]])
+            else:
+                raise SevenZipError(f"input stream {gi} is unbound")
+        out = _decode_one_coder(c, ins, folder.unpack_sizes[oi])
+        memo[oi] = out
+        busy.discard(oi)
+        return out
+
+    return out_stream(folder.final_out_index())
+
+
 def _decode_folder(folder: Folder, packed: list[bytes]) -> bytes:
     """Decode a linear coder chain folder."""
     for c in folder.coders:
         if c.num_in != 1 or c.num_out != 1:
-            raise SevenZipError("complex coders (e.g. BCJ2) not supported")
+            return _decode_folder_general(folder, packed)
     if len(folder.packed_indices) != 1 or len(packed) != 1:
         raise SevenZipError("multi-packed-stream folders not supported")
     # chain order: coder consuming the packed stream -> ... -> final out
@@ -317,7 +489,7 @@ class _HeaderParser:
                 defined = _read_all_or_bits(f, num)
                 for d in defined:
                     if d:
-                        f.read(4)
+                        _read_exact(f, 4)
             else:
                 raise SevenZipError(f"unexpected id {pid:#x} in PackInfo")
 
@@ -327,7 +499,7 @@ class _HeaderParser:
         coders = []
         total_in = total_out = 0
         for _ in range(num_coders):
-            flags = f.read(1)[0]
+            flags = _read_byte(f)
             id_size = flags & 0x0F
             codec_id = f.read(id_size)
             num_in = num_out = 1
@@ -359,7 +531,7 @@ class _HeaderParser:
         if pid != K_FOLDER:
             raise SevenZipError("expected kFolder")
         num_folders = read_number(f)
-        external = f.read(1)[0]
+        external = _read_byte(f)
         if external:
             raise SevenZipError("external folders not supported")
         self.folders = [self._parse_folder() for _ in range(num_folders)]
@@ -377,7 +549,7 @@ class _HeaderParser:
                 for folder, d in zip(self.folders, defined):
                     folder.crc_defined = d
                     if d:
-                        folder.crc = struct.unpack("<I", f.read(4))[0]
+                        folder.crc = struct.unpack("<I", _read_exact(f, 4))[0]
             else:
                 raise SevenZipError(f"unexpected id {pid:#x} in UnpackInfo")
 
@@ -424,7 +596,7 @@ class _HeaderParser:
                 defined = _read_all_or_bits(f, len(unknown))
                 for (folder, s), d in zip(unknown, defined):
                     if d:
-                        folder.substream_crcs[s] = struct.unpack("<I", f.read(4))[0]
+                        folder.substream_crcs[s] = struct.unpack("<I", _read_exact(f, 4))[0]
             else:
                 raise SevenZipError(f"unexpected id {pid:#x} in SubStreamsInfo")
             pid = read_number(f)
@@ -452,7 +624,7 @@ def _parse_files_info(f: BinaryIO, entries_out: list[dict]):
                 if fi["empty_stream"]:
                     fi["empty_file"] = next(it)
         elif prop == K_NAMES:
-            external = f.read(1)[0]
+            external = _read_byte(f)
             if external:
                 raise SevenZipError("external names not supported")
             blob = f.read(size - 1)
@@ -461,10 +633,10 @@ def _parse_files_info(f: BinaryIO, entries_out: list[dict]):
                 fi["name"] = name
         elif prop == K_ATTRIBUTES:
             defined = _read_all_or_bits(f, num_files)
-            external = f.read(1)[0]
+            external = _read_byte(f)
             for fi, d in zip(files, defined):
                 if d:
-                    fi["attrib"] = struct.unpack("<I", f.read(4))[0]
+                    fi["attrib"] = struct.unpack("<I", _read_exact(f, 4))[0]
         f.seek(end)
     entries_out.extend(files)
 
@@ -473,6 +645,8 @@ def read_7z(data: bytes) -> list[Entry]:
     """Parse a .7z archive from bytes; returns the entry list with data."""
     if data[:6] != MAGIC:
         raise SevenZipError("bad 7z signature")
+    if len(data) < 32:
+        raise SevenZipError("truncated 7z start header")
     nh_offset, nh_size = struct.unpack_from("<QQ", data, 12)
     header_blob = data[32 + nh_offset : 32 + nh_offset + nh_size]
     if not header_blob:

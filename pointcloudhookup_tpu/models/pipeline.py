@@ -263,6 +263,10 @@ def reproject_las(
                  las.offsets[2]],
         point_format=las.point_format,
         version=las.version,
+        # the reference's 005test path copies the source header; carry
+        # the VLR block (CRS records etc.) through the reprojection
+        vlr_bytes=las.vlr_bytes,
+        num_vlrs=las.num_vlrs,
     )
     write_las(deg, output_path)
     rep.log(f"reprojected {n} points -> {output_path}")
@@ -297,6 +301,8 @@ class ConvertedTower:
     orthometric_height: float
     n_value: float
     height_conversion_applied: bool
+    # set when correct(icp=True) refined this tower's position
+    icp_rmse: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -517,11 +523,43 @@ def correct(
     distance_threshold: float = 50.0,
     height_threshold: float = 100.0,
     geoid: Optional[GeoidGrid] = None,
+    icp: bool = False,
+    pc_clouds: Optional[Sequence] = None,
+    icp_iters: int = 30,
+    icp_max_corr_dist: float = 2.0,
 ) -> MatchResult:
     """Match + write point-cloud derived coordinates back into the GIM
-    rows (headless correct_from_gim_tower_list)."""
+    rows (headless correct_from_gim_tower_list).
+
+    icp=True (opt-in; requires `pc_clouds`, the per-tower member points
+    in world coordinates, aligned with `pc_towers`) refines each matched
+    tower's position with batched ICP against an idealized pylon frame
+    before the write-back — see models/refine.py.  Refined pairs carry
+    their ICP rmse in ConvertedTower.icp_rmse."""
     converted = convert_pointcloud_towers(pc_towers, region_n_value, geoid)
     pairs = match_towers(gim_list, converted, distance_threshold, height_threshold)
+    if icp and pairs:
+        if pc_clouds is None:
+            raise ValueError("correct(icp=True) requires pc_clouds")
+        from pointcloudhookup_tpu.models.refine import refine_tower_centers
+
+        refined = refine_tower_centers(
+            pc_towers, pc_clouds, [pi for _, pi in pairs],
+            iters=icp_iters, max_corr_dist=icp_max_corr_dist,
+        )
+        for pi, r in refined.items():
+            e, n, h_ellip = (float(v) for v in r["center"])
+            lon, lat = (float(v) for v in tm_inverse(e, n, xp=np))
+            h_ortho = float(
+                ellipsoid_to_orthometric(lat, lon, h_ellip, geoid, region_n_value, xp=np)
+            )
+            c = converted[pi]
+            c.converted_center = [lon, lat, h_ortho]
+            c.original_center = [e, n, h_ellip]
+            c.ellipsoid_height = h_ellip
+            c.orthometric_height = h_ortho
+            c.n_value = h_ellip - h_ortho
+            c.icp_rmse = float(r["rmse"])
     return _build_result(gim_list, converted, pairs, corrected=True)
 
 

@@ -263,3 +263,28 @@ def ellipsoid_to_orthometric(lat_deg, lon_deg, h_ellip, geoid: GeoidGrid | None,
     if geoid is None:
         return xp.asarray(h_ellip) - region_n_value
     return xp.asarray(h_ellip) - geoid.interp(lat_deg, lon_deg, xp)
+
+
+def greedy_match_arrays(
+    g_lat, g_lon, g_h, p_lat, p_lon, p_h,
+    distance_threshold: float = 50.0,
+    height_threshold: float = 100.0,
+    xp: Any = jnp,
+):
+    """Array form of the reference's greedy first-match loop
+    (/root/reference/utils/table_match_gim.py:169-196): for each GIM
+    tower, the FIRST point-cloud tower (lowest index) within both the
+    haversine and height thresholds; PC towers are not consumed.
+
+    Returns (matched bool[G], first i32[G]) — `first[i]` is meaningful
+    only where `matched[i]`.  Jit-friendly (one [G, P] distance matrix +
+    a per-row argmax of the first True); this is the device side of the
+    ">=10x CPU reference" corridor-matching target (BASELINE.md row 2,
+    benchmarks/config_match.py).
+    """
+    dist = haversine_matrix(g_lat, g_lon, p_lat, p_lon, xp)
+    ok = (dist <= distance_threshold) & (
+        xp.abs(xp.asarray(g_h)[:, None] - xp.asarray(p_h)[None, :])
+        <= height_threshold
+    )
+    return ok.any(axis=1), xp.argmax(ok, axis=1).astype(xp.int32)

@@ -1,0 +1,74 @@
+"""Capacity-overflow resolution: a >max_clusters-structure tile must
+extract EVERY tower via the host-side quadrant re-split driver
+(VERDICT r2 missing #6: resolve, don't just report, dense-tile
+overflow)."""
+
+import numpy as np
+import pytest
+
+from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
+from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
+from pointcloudhookup_tpu.models.overflow import (
+    extract_from_points_resolving,
+    saturated,
+)
+
+
+def _dense_tile(rng, nx, ny, pts_per_tower=400, n_ground=40_000, spacing=45.0):
+    xs = (np.arange(nx) - (nx - 1) / 2) * spacing
+    ys = (np.arange(ny) - (ny - 1) / 2) * spacing
+    towers = [(float(x), float(y)) for x in xs for y in ys]
+    extent = max(xs.max(), ys.max()) + 60.0
+    pts, centers = synthetic_corridor(
+        rng,
+        n_ground=n_ground,
+        n_veg=2000,
+        towers=towers,
+        pts_per_tower=pts_per_tower,
+        extent=float(extent),
+    )
+    return pts, centers
+
+
+@pytest.mark.parametrize("fast", [True, False])
+def test_300_structure_tile_fully_extracted(rng, fast):
+    """20 x 15 = 300 towers against max_clusters=128: the base step
+    saturates; the resolving driver must find all 300 with the
+    saturation resolved."""
+    pts, centers = _dense_tile(rng, 20, 15)
+    params = ExtractParams(
+        cluster=ClusterParams(eps=5.0, min_points=60, method="grid"),
+        max_clusters=128,
+    )
+    towers, info = extract_from_points_resolving(pts, params, fast=fast)
+    assert info["saturated_tiles"] >= 1  # the base tile really overflowed
+    assert info["resolved"] is True
+    assert info["max_depth_used"] >= 1
+    assert len(towers) == len(centers) == 300
+    got = np.array([t.center[:2] for t in towers])
+    for c in centers:
+        d = np.linalg.norm(got - c[None, :2], axis=1)
+        assert d.min() < 3.0
+
+
+def test_no_split_when_not_saturated(rng):
+    """An ordinary tile must run exactly once (no wasted recursion)."""
+    pts, centers = _dense_tile(rng, 3, 2, n_ground=8000)
+    params = ExtractParams(
+        cluster=ClusterParams(eps=5.0, min_points=60, method="grid")
+    )
+    towers, info = extract_from_points_resolving(pts, params, fast=True)
+    assert info == dict(
+        saturated_tiles=0, tiles_run=1, max_depth_used=0, resolved=True
+    )
+    assert len(towers) == len(centers)
+
+
+def test_saturated_detects_cells_overflow():
+    params = ExtractParams()
+    stats = dict(alive=np.zeros(128, bool), cells_overflow=np.float32(3.0))
+    assert saturated(stats, params)
+    stats = dict(alive=np.zeros(128, bool), cells_overflow=np.float32(0.0))
+    assert not saturated(stats, params)
+    stats = dict(alive=np.ones(128, bool))
+    assert saturated(stats, params)
