@@ -10,6 +10,7 @@ Prints exactly one JSON line:
   {"metric": "...", "value": N, "unit": "Mpts/s", "vs_baseline": N}
 """
 
+import functools
 import json
 import os
 import time
@@ -71,13 +72,21 @@ def main():
     # stages reclaims ~9 ms/iter.  (The old per-stage split predates
     # the Hillis-Steele scans, whose compile footprint made a monolithic
     # graph impractical.)
+    #
+    # sort_mode='hier' replaces the 2xu32-key Morton sort (the ~12 ms
+    # dominating stage) with a single-u32-key cell sort + two offset
+    # window sorts (lax.sort cost scales with KEY COUNT, not bytes);
+    # exact for cell runs <= hier_window/2 + 1, eligibility checked on
+    # the host from the tile extent.  PCH_BENCH_SORT=full reverts.
     import jax as _jax
 
-    @_jax.jit
-    def frontend(xyz, mask):
+    sort_mode = os.environ.get("PCH_BENCH_SORT", "hier")
+
+    @functools.partial(_jax.jit, static_argnames=("sort_mode",))
+    def frontend(xyz, mask, sort_mode="full"):
         hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=8192, min_cell_points=3,
-            geometric_voxels=True, emit="codes",
+            geometric_voxels=True, emit="codes", sort_mode=sort_mode,
         )
         # sort-free OBB: streaming pallas accumulation over the Morton
         # rows replaces the full-N label sort (~45% of the iteration)
@@ -89,6 +98,12 @@ def main():
         return labels, stats, accepted, base
 
     xyz_np, mask_np, centers = build_workload(N_POINTS)
+    if sort_mode == "hier":
+        from pointcloudhookup_tpu.ops.frontend_fused import hier_sort_eligible
+
+        span = xyz_np.max(axis=0) - xyz_np.min(axis=0)
+        if not hier_sort_eligible(span):
+            sort_mode = "full"
     xyz = jnp.asarray(xyz_np)
     mask = jnp.asarray(mask_np)
 
@@ -99,12 +114,12 @@ def main():
         return np.asarray(out[2][0:1])
 
     for _ in range(WARMUP):
-        out = frontend(xyz, mask)
+        out = frontend(xyz, mask, sort_mode=sort_mode)
         fence(out)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = frontend(xyz, mask)
+        out = frontend(xyz, mask, sort_mode=sort_mode)
     fence(out)
     dt = (time.perf_counter() - t0) / ITERS
 
@@ -120,6 +135,7 @@ def main():
             "wall_s_per_iter": round(dt, 4),
             "towers_found": n_towers_found,
             "towers_expected": len(centers),
+            "sort_mode": sort_mode,
             "device": str(jax.devices()[0]),
         },
     }

@@ -121,9 +121,9 @@ class TileStreamer:
         )
         n = len(chunk)
         wire = self.wire
+        lo = chunk.min(axis=0) if n else np.zeros(3)
+        hi = chunk.max(axis=0) if n else np.zeros(3)
         if wire == "u16":
-            lo = chunk.min(axis=0) if n else np.zeros(3)
-            hi = chunk.max(axis=0) if n else np.zeros(3)
             scale = np.maximum((hi - lo) / 65535.0, 1e-9)
             if self.max_pitch is not None and float(scale.max()) > self.max_pitch:
                 wire = "f32"  # lattice too coarse for this chunk: go exact
@@ -150,7 +150,7 @@ class TileStreamer:
             if self.device is not None:
                 xa = jax.device_put(xa, self.device)
                 ma = jax.device_put(ma, self.device)
-        meta = dict(meta, origin=origin, wire=wire)
+        meta = dict(meta, origin=origin, wire=wire, span=hi - lo)
         return xa, ma, meta
 
     def __iter__(self):
@@ -208,12 +208,28 @@ def stream_extract(
 
     params = params or ExtractParams()
     if fast:
-        from pointcloudhookup_tpu.ops.frontend_fused import fused_extract_step
+        from pointcloudhookup_tpu.ops.frontend_fused import (
+            fused_extract_step,
+            hier_sort_eligible,
+        )
 
-        def step(xyz, mask):
-            return fused_extract_step(xyz, mask, params, geometric_voxels=True)
+        def step(xyz, mask, meta):
+            # honor the configured cell-density floor: the fused default
+            # of 2 is a bench denoising choice, but at eps < 5.54 the
+            # cell graph shrinks its cells (diagonal-under-eps rule) and
+            # a sparse mid-tower cell layer must not split a structure.
+            # hier sort (single-key + window sorts) kicks in whenever
+            # the tile's codes fit the u32 cell key; dense-cell dedup
+            # saturation is reported via stats["hier_runs_over"].
+            span = meta.get("span")
+            hier = span is not None and hier_sort_eligible(span)
+            return fused_extract_step(
+                xyz, mask, params, geometric_voxels=True,
+                min_cell_points=max(params.cluster.min_cell_points, 1),
+                sort_mode="hier" if hier else "full",
+            )
     else:
-        def step(xyz, mask):
+        def step(xyz, mask, meta):
             return extract_step(xyz, mask, params)
 
     point_sized = ("labels", "ground_keep", "ds_xyz")
@@ -224,7 +240,7 @@ def stream_extract(
         sources, capacity, origin=origin, wire=wire, prefetch=prefetch
     ):
         t0 = _time.perf_counter() if timings else 0.0
-        stats = step(xyz, mask)
+        stats = step(xyz, mask, meta)
         out = {}
         for k, v in stats.items():
             if k in point_sized and not fetch_labels:

@@ -1,7 +1,8 @@
 """LAS point-cloud reader/writer (pure numpy, no laspy dependency).
 
-Supports LAS 1.2-1.4, point record formats 0-3 and 6-8 (xyz + intensity +
-classification + the common attributes; RGB/GPS-time when present).
+Supports LAS 1.2-1.4, point record formats 0-3 and 6-10 (xyz + intensity
++ classification + the common attributes; RGB/NIR/GPS-time/wavepacket
+fields when present).
 Scaled-integer semantics match laspy/the LAS spec: world = record * scale
 + offset; the reference round-trips headers preserving scales/offsets
 (/root/reference/ui/import_PC.py:35-41,
@@ -47,6 +48,15 @@ _COMMON6 = [
     ("gps_time", "<f8"),
 ]
 _RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_WAVE = [
+    ("wave_descriptor", "u1"),
+    ("wave_offset", "<u8"),
+    ("wave_size", "<u4"),
+    ("wave_return_point", "<f4"),
+    ("wave_xt", "<f4"),
+    ("wave_yt", "<f4"),
+    ("wave_zt", "<f4"),
+]
 
 POINT_DTYPES = {
     0: np.dtype(_COMMON0),
@@ -56,6 +66,8 @@ POINT_DTYPES = {
     6: np.dtype(_COMMON6),
     7: np.dtype(_COMMON6 + _RGB),
     8: np.dtype(_COMMON6 + _RGB + [("nir", "<u2")]),
+    9: np.dtype(_COMMON6 + _WAVE),
+    10: np.dtype(_COMMON6 + _RGB + [("nir", "<u2")] + _WAVE),
 }
 
 _HEADER_SIZES = {(1, 2): 227, (1, 3): 235, (1, 4): 375}

@@ -7,8 +7,15 @@ module handles the container plumbing: the LASzip VLR (user id
 "laszip encoded", record 22204), the 8-byte chunk-table pointer at the
 start of the point-data section, and LasData assembly.
 
-Supported: point formats 0-3 (POINT10 + GPSTIME11 + RGB12, item v2,
-compressor 2 = chunked, coder 0 = arithmetic).
+Supported:
+  * point formats 0-3 (POINT10 + GPSTIME11 + RGB12, item v2,
+    compressor 2 = chunked, coder 0 = arithmetic);
+  * LAS 1.4 native point formats 6-10 (POINT14 + RGB14 / RGBNIR14 /
+    WAVEPACKET14, item v3, compressor 3 = layered chunked);
+  * fixed AND variable-size chunks (chunk_size 0xFFFFFFFF: per-chunk
+    point counts come from the chunk table);
+  * the chunk-table-offset -1 layout (non-seekable writers append the
+    table and park its position in the final 8 bytes of the section).
 """
 
 from __future__ import annotations
@@ -22,17 +29,35 @@ from pointcloudhookup_tpu.io.las import POINT_DTYPES, LasData
 LASZIP_USER_ID = b"laszip encoded\x00\x00"
 LASZIP_RECORD_ID = 22204
 DEFAULT_CHUNK_SIZE = 50000
+VARIABLE_CHUNKS = 0xFFFFFFFF
 
 _ITEM_POINT10 = 6
 _ITEM_GPSTIME11 = 7
 _ITEM_RGB12 = 8
+_ITEM_POINT14 = 10
+_ITEM_RGB14 = 11
+_ITEM_RGBNIR14 = 12
+_ITEM_WAVEPACKET14 = 13
 
 _FMT_ITEMS = {
     0: [(_ITEM_POINT10, 20)],
     1: [(_ITEM_POINT10, 20), (_ITEM_GPSTIME11, 8)],
     2: [(_ITEM_POINT10, 20), (_ITEM_RGB12, 6)],
     3: [(_ITEM_POINT10, 20), (_ITEM_GPSTIME11, 8), (_ITEM_RGB12, 6)],
+    6: [(_ITEM_POINT14, 30)],
+    7: [(_ITEM_POINT14, 30), (_ITEM_RGB14, 6)],
+    8: [(_ITEM_POINT14, 30), (_ITEM_RGBNIR14, 8)],
+    9: [(_ITEM_POINT14, 30), (_ITEM_WAVEPACKET14, 29)],
+    10: [(_ITEM_POINT14, 30), (_ITEM_RGBNIR14, 8), (_ITEM_WAVEPACKET14, 29)],
 }
+
+# item version + compressor per format family
+def _fmt_item_version(fmt: int) -> int:
+    return 3 if fmt >= 6 else 2
+
+
+def _fmt_compressor(fmt: int) -> int:
+    return 3 if fmt >= 6 else 2  # 2 = chunked, 3 = layered chunked
 
 
 def _codec():
@@ -50,11 +75,12 @@ def _codec():
 def build_laszip_vlr(point_format: int, chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
     """The LASzip VLR (54-byte header + record payload)."""
     items = _FMT_ITEMS[point_format]
+    ver = _fmt_item_version(point_format)
     payload = struct.pack(
         "<HHBBHIIqqH",
-        2,  # compressor: chunked
+        _fmt_compressor(point_format),  # 2 chunked / 3 layered chunked
         0,  # coder: arithmetic
-        2,  # version major
+        3 if ver == 3 else 2,  # version major
         4,  # version minor
         0,  # revision
         0,  # options
@@ -64,7 +90,7 @@ def build_laszip_vlr(point_format: int, chunk_size: int = DEFAULT_CHUNK_SIZE) ->
         len(items),
     )
     for typ, size in items:
-        payload += struct.pack("<HHH", typ, size, 2)
+        payload += struct.pack("<HHH", typ, size, ver)
     header = struct.pack("<H16sHH32s", 0, LASZIP_USER_ID, LASZIP_RECORD_ID,
                          len(payload), b"pointcloudhookup_tpu laz")
     return header + payload
@@ -118,18 +144,36 @@ def decode_point_section(
     fmt: int,
     record_len: int,
     chunk_size: int,
+    section_end: int | None = None,
 ) -> np.ndarray:
     """Decode the LAZ point-data section of a raw .laz file image into
-    raw little-endian point records u8[count, record_len]."""
+    raw little-endian point records u8[count, record_len].
+
+    `section_end` bounds the point-data section (start of the first
+    EVLR, or EOF); it is required to resolve the chunk-table-offset -1
+    layout, where a non-seekable writer appends the chunk table and
+    stores its absolute position in the section's final 8 bytes."""
     import ctypes
 
     lib = _codec()
+    if section_end is None:
+        section_end = len(data)
     table_abs = struct.unpack_from("<q", data, point_offset)[0]
-    section = np.frombuffer(data, np.uint8, len(data) - point_offset - 8,
+    if table_abs == -1:
+        if section_end - 8 < point_offset + 8:
+            raise ValueError("LAZ: truncated section with chunk table offset -1")
+        table_abs = struct.unpack_from("<q", data, section_end - 8)[0]
+        # the parked-position layout ends [table][i64 position]; drop the
+        # trailing pointer from the section handed to the decoder
+        section_end -= 8
+    if not (point_offset + 8 <= table_abs < section_end):
+        raise ValueError(f"LAZ: chunk table offset {table_abs} out of bounds")
+    section = np.frombuffer(data, np.uint8, section_end - point_offset - 8,
                             point_offset + 8)
     table_rel = table_abs - point_offset - 8
     out = np.empty((count, record_len), np.uint8)
-    got = lib.laz_decode_points(
+    decode = lib.laz_decode_points14 if fmt >= 6 else lib.laz_decode_points
+    got = decode(
         section.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         len(section),
         table_rel,
@@ -152,10 +196,11 @@ def encode_point_section(records: np.ndarray, fmt: int,
     lib = _codec()
     records = np.ascontiguousarray(records, np.uint8)
     n, record_len = records.shape
-    cap = int(n * record_len + (n // chunk_size + 2) * 64 + 4096)
+    encode = lib.laz_encode_points14 if fmt >= 6 else lib.laz_encode_points
+    cap = int(n * record_len + (n // chunk_size + 2) * 128 + 4096)
     out = np.empty(cap, np.uint8)
     table_rel = ctypes.c_longlong()
-    size = lib.laz_encode_points(
+    size = encode(
         records.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         n,
         fmt,
@@ -166,9 +211,9 @@ def encode_point_section(records: np.ndarray, fmt: int,
     )
     if size == -2:
         # pathological expansion: retry with the worst-case cap
-        cap = int(n * record_len * 2 + (n // chunk_size + 2) * 64 + 65536)
+        cap = int(n * record_len * 3 + (n // chunk_size + 2) * 128 + 65536)
         out = np.empty(cap, np.uint8)
-        size = lib.laz_encode_points(
+        size = encode(
             records.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             n, fmt, chunk_size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
@@ -180,12 +225,14 @@ def encode_point_section(records: np.ndarray, fmt: int,
 
 
 def write_laz(las: LasData, path, chunk_size: int = DEFAULT_CHUNK_SIZE) -> None:
-    """Write a LasData as .laz (formats 0-3)."""
+    """Write a LasData as .laz (formats 0-3 chunked v2; 6-10 layered v3)."""
     from pointcloudhookup_tpu.io.las import write_las
 
     fmt = las.point_format
     if fmt not in _FMT_ITEMS:
-        raise ValueError(f"LAZ write supports point formats 0-3, got {fmt}")
+        raise ValueError(
+            f"LAZ write supports point formats 0-3 and 6-10, got {fmt}"
+        )
     import io as _io
     import os
     import tempfile
@@ -243,9 +290,12 @@ def read_laz_bytes(data: bytes, path_for_err: str = "<bytes>") -> LasData:
     info = parse_laszip_vlr(vlr_bytes)
     if info is None:
         raise ValueError(f"LAZ file without LASzip VLR: {path_for_err!r}")
-    if info["compressor"] != 2 or info["coder"] != 0:
+    want_compressor = _fmt_compressor(fmt)
+    if info["compressor"] != want_compressor or info["coder"] != 0:
         raise ValueError(
-            f"unsupported LAZ compressor/coder {info['compressor']}/{info['coder']}"
+            f"unsupported LAZ compressor/coder {info['compressor']}/"
+            f"{info['coder']} for point format {fmt} (expected "
+            f"{want_compressor}/0)"
         )
     # the native decoder writes rows at ITS layout stride for `fmt` and
     # assumes exactly the standard item list — validate BOTH against
@@ -260,11 +310,12 @@ def read_laz_bytes(data: bytes, path_for_err: str = "<bytes>") -> LasData:
             f"{fmt} in {path_for_err!r} (extra-bytes/custom items are not "
             f"supported; expected {want_items})"
         )
-    bad_ver = [v for _, _, v in info["items"] if v != 2]
+    want_ver = _fmt_item_version(fmt)
+    bad_ver = [v for _, _, v in info["items"] if v != want_ver]
     if bad_ver:
         raise ValueError(
             f"unsupported LAZ item version(s) {bad_ver} in {path_for_err!r} "
-            f"(this decoder implements the version-2 contexts)"
+            f"(point format {fmt} uses version-{want_ver} items)"
         )
     if record_len != want_len:
         raise ValueError(
@@ -272,20 +323,16 @@ def read_laz_bytes(data: bytes, path_for_err: str = "<bytes>") -> LasData:
             f"{fmt}'s layout ({want_len} bytes) in {path_for_err!r} — "
             f"extra per-point bytes are not supported"
         )
-    if info["chunk_size"] == 0xFFFFFFFF:
-        raise ValueError(
-            f"unsupported LAZ layout: variable-size chunks "
-            f"(chunk_size=0xFFFFFFFF) in {path_for_err!r}"
-        )
-    table_abs = struct.unpack_from("<q", data, point_offset)[0]
-    if table_abs < 0:
-        raise ValueError(
-            f"unsupported LAZ layout: chunk table offset -1 (table "
-            f"written after the points by a non-seekable writer) in "
-            f"{path_for_err!r}"
-        )
+    # point section ends at the first EVLR (LAS 1.4) or EOF; needed for
+    # the chunk-table-offset -1 layout
+    section_end = len(data)
+    if ver >= (1, 4):
+        evlr_start = struct.unpack_from("<Q", data, 235)[0]
+        if 0 < evlr_start <= len(data):
+            section_end = evlr_start
     raw = decode_point_section(
-        data, point_offset, count, fmt, record_len, info["chunk_size"]
+        data, point_offset, count, fmt, record_len, info["chunk_size"],
+        section_end=section_end,
     )
     dtype = POINT_DTYPES[fmt]
     points = (

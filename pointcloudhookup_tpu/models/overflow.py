@@ -101,6 +101,31 @@ def extract_from_points_resolving(
         info["resolved"] = False
         return towers, info
 
+    # ---- the ground percentile is a GLOBAL statistic (the reference
+    # computes it once over the whole cloud, tower_extraction.py:83);
+    # recomputing it per sub-tile would let the cut climb into the
+    # towers as recursion zooms into structure-dense regions.  Apply the
+    # TOP-LEVEL cut here on the host and hand children pre-filtered
+    # points with a no-op ground stage.
+    if _depth == 0:
+        import dataclasses
+
+        from pointcloudhookup_tpu.config import GroundParams
+
+        gp = params.ground
+        base = float(np.asarray(stats["base_height"]))
+        # the device step saw coordinates centered on the tile mean, so
+        # base_height lives in that frame
+        zc = points[:, 2] - points.mean(axis=0)[2]
+        keep = zc > base + gp.offset
+        if keep.sum() < gp.min_points_after:
+            keep = zc > base + gp.retry_offset
+        points = points[keep]
+        params = dataclasses.replace(
+            params,
+            ground=GroundParams(percentile=0.0, offset=-1.0, min_points_after=0),
+        )
+
     # ---- split around the xy median with an overlap halo and recurse
     info["saturated_tiles"] = 1
     mx, my = np.median(points[:, 0]), np.median(points[:, 1])
@@ -143,8 +168,18 @@ def _fast_extract(points: np.ndarray, params: ExtractParams):
     xyz[: len(points)] = (points - origin).astype(np.float32)
     mask = np.zeros(cap, bool)
     mask[: len(points)] = True
+    # honor the configured cell-density floor (the fused default of 2 is
+    # a bench denoising choice; at 1 a sparse mid-tower cell layer can
+    # no longer split a structure vertically into sub-min_width parts)
+    from pointcloudhookup_tpu.ops.frontend_fused import hier_sort_eligible
+
+    span = (points.max(axis=0) - points.min(axis=0)) if len(points) else (
+        np.zeros(3)
+    )
     stats = fused_extract_step(
-        jnp.asarray(xyz), jnp.asarray(mask), params, geometric_voxels=True
+        jnp.asarray(xyz), jnp.asarray(mask), params, geometric_voxels=True,
+        min_cell_points=max(params.cluster.min_cell_points, 1),
+        sort_mode="hier" if hier_sort_eligible(span) else "full",
     )
     stats = {k: np.asarray(v) for k, v in stats.items()}
     return towers_from_stats(stats, origin), stats

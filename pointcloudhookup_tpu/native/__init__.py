@@ -117,6 +117,11 @@ def get_laz_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong),
         ]
+        # LAS 1.4 layered twins (formats 6-10, compressor 3)
+        lib.laz_decode_points14.restype = ctypes.c_longlong
+        lib.laz_decode_points14.argtypes = lib.laz_decode_points.argtypes
+        lib.laz_encode_points14.restype = ctypes.c_longlong
+        lib.laz_encode_points14.argtypes = lib.laz_encode_points.argtypes
         _laz_lib = lib
         return _laz_lib
 

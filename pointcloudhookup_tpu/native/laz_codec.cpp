@@ -1137,6 +1137,722 @@ struct Rgb12Codec {
     }
 };
 
+// ======================================================================
+// LAS 1.4 native point formats 6-10: LASzip "layered" compression
+// (compressor 3, item versions 3).  Each chunk stores its first point
+// raw, then a u32 point count, then one u32 byte-count per layer, then
+// the layers' arithmetic-coded bytes.  Fields live in SEPARATE layers
+// (returns/XY, Z, classification, flags, intensity, scan angle, user
+// data, point source, GPS time), each with its own coder, and all
+// models are per-scanner-channel contexts (4).
+//
+// INTEROP NOTE: the container layout, layer structure, coder, and
+// integer compressor follow the published LASzip format description
+// and are expected byte-compatible.  The ONE detail reconstructed
+// rather than transcribed is the pair of 16x16 context-quantization
+// tables below (the published 8x8 POINT10 tables extended to 16
+// returns and clamped to 6 map / 8 level contexts).  Any context
+// table yields a self-consistent codec (round-trip exact); a single
+// real laszip-produced format-6 sample would confirm or correct the
+// entries.  Encode and decode share them, and they are isolated here
+// on purpose.
+// ======================================================================
+
+static U8 nr_map_6ctx(U32 n, U32 r) {
+    U32 v = number_return_map[n < 8 ? n : 7][r < 8 ? r : 7];
+    return (U8)(v < 6 ? v : 5);
+}
+static U8 nr_level_8ctx(U32 n, U32 r) {
+    U32 v = number_return_level[n < 8 ? n : 7][r < 8 ? r : 7];
+    return (U8)(v < 8 ? v : 7);
+}
+
+// 30-byte POINT14 record (LAS 1.4 formats 6-10)
+struct Point14 {
+    I32 x, y, z;
+    U16 intensity;
+    U8 returns_byte;  // return number (0:3) | number of returns (4:7)
+    U8 flags_byte;    // class flags (0:3) | channel (4:5) | scan dir (6) | edge (7)
+    U8 classification;
+    U8 user_data;
+    I16 scan_angle;
+    U16 point_source_ID;
+    U64 gps_time_bits;
+
+    void from_bytes(const U8* p) {
+        x = rd_i32(p);
+        y = rd_i32(p + 4);
+        z = rd_i32(p + 8);
+        intensity = rd_u16(p + 12);
+        returns_byte = p[14];
+        flags_byte = p[15];
+        classification = p[16];
+        user_data = p[17];
+        scan_angle = (I16)rd_u16(p + 18);
+        point_source_ID = rd_u16(p + 20);
+        memcpy(&gps_time_bits, p + 22, 8);
+    }
+    void to_bytes(U8* p) const {
+        wr_i32(p, x);
+        wr_i32(p + 4, y);
+        wr_i32(p + 8, z);
+        wr_u16(p + 12, intensity);
+        p[14] = returns_byte;
+        p[15] = flags_byte;
+        p[16] = classification;
+        p[17] = user_data;
+        wr_u16(p + 18, (U16)scan_angle);
+        wr_u16(p + 20, point_source_ID);
+        memcpy(p + 22, &gps_time_bits, 8);
+    }
+    U32 return_number() const { return returns_byte & 0x0F; }
+    U32 number_of_returns() const { return returns_byte >> 4; }
+    U32 classification_flags() const { return flags_byte & 0x0F; }
+    U32 scanner_channel() const { return (flags_byte >> 4) & 3; }
+    U32 scan_direction() const { return (flags_byte >> 6) & 1; }
+    U32 edge_of_flight() const { return flags_byte >> 7; }
+};
+
+// one layer: its own byte stream + coder (decode side slices the chunk)
+struct LayerDec {
+    Decoder dec;
+    bool present = false;
+    void attach(const U8* p, U32 n) {
+        present = n > 0;
+        if (present) dec.init(p, n);
+    }
+};
+struct LayerEnc {
+    std::vector<U8> buf;
+    Encoder enc;
+    bool open = false;
+    void reset() {
+        buf.clear();
+        enc.init(&buf);
+        open = true;
+    }
+    U32 close() {  // returns byte size
+        if (open) {
+            enc.done();
+            open = false;
+        }
+        return (U32)buf.size();
+    }
+};
+
+struct Point14Ctx {
+    bool unused = true;
+    Point14 last;
+    bool last_gps_time_change = false;
+    U16 last_intensity[8];
+    StreamingMedian5 last_X_diff_median5[12], last_Y_diff_median5[12];
+    I32 last_Z[8];
+
+    SymbolModel m_changed_values[8];
+    SymbolModel m_scanner_channel;
+    std::vector<SymbolModel> m_number_of_returns, m_return_number;
+    std::vector<bool> has_nr, has_rn;
+    SymbolModel m_return_number_gps_same;
+    IntegerCompressor ic_dX, ic_dY, ic_Z;
+    std::vector<SymbolModel> m_classification, m_flags, m_user_data;
+    std::vector<bool> has_cls, has_flg, has_usr;
+    IntegerCompressor ic_intensity, ic_scan_angle, ic_point_source;
+    GpsTime11Codec gps;
+    bool compressing = false;
+
+    void create(bool compr, const Point14& seed, bool seed_gps_change) {
+        compressing = compr;
+        for (int i = 0; i < 8; i++) m_changed_values[i].setup(128, compr);
+        m_scanner_channel.setup(3, compr);
+        m_number_of_returns.assign(16, SymbolModel());
+        m_return_number.assign(16, SymbolModel());
+        has_nr.assign(16, false);
+        has_rn.assign(16, false);
+        m_return_number_gps_same.setup(13, compr);
+        ic_dX.setup(32, 2, compr);
+        ic_dY.setup(32, 22, compr);
+        ic_Z.setup(32, 20, compr);
+        m_classification.assign(64, SymbolModel());
+        m_flags.assign(64, SymbolModel());
+        m_user_data.assign(64, SymbolModel());
+        has_cls.assign(64, false);
+        has_flg.assign(64, false);
+        has_usr.assign(64, false);
+        ic_intensity.setup(16, 4, compr);
+        ic_scan_angle.setup(16, 2, compr);
+        ic_point_source.setup(16, 1, compr);
+        gps.setup(compr);
+        for (int i = 0; i < 8; i++) {
+            last_intensity[i] = seed.intensity;
+            last_Z[i] = seed.z;
+        }
+        for (int i = 0; i < 12; i++) {
+            last_X_diff_median5[i].init();
+            last_Y_diff_median5[i].init();
+        }
+        U8 g8[8];
+        memcpy(g8, &seed.gps_time_bits, 8);
+        gps.init(g8);
+        last = seed;
+        last_gps_time_change = seed_gps_change;
+        unused = false;
+    }
+
+    SymbolModel& lazy(std::vector<SymbolModel>& v, std::vector<bool>& h,
+                      U32 i, U32 syms) {
+        if (!h[i]) {
+            v[i].setup(syms, compressing);
+            h[i] = true;
+        }
+        return v[i];
+    }
+};
+
+// layer ids for POINT14 (order of the u32 size fields in the chunk)
+enum {
+    L14_CHANNEL_RETURNS_XY = 0,
+    L14_Z,
+    L14_CLASSIFICATION,
+    L14_FLAGS,
+    L14_INTENSITY,
+    L14_SCAN_ANGLE,
+    L14_USER_DATA,
+    L14_POINT_SOURCE,
+    L14_GPS_TIME,
+    L14_COUNT
+};
+
+struct Point14v3Dec {
+    Point14Ctx ctx[4];
+    U32 current = 0;
+    LayerDec layer[L14_COUNT];
+
+    // first_point raw; layer pointers already attached by caller
+    void init(const U8* first_point) {
+        for (int i = 0; i < 4; i++) ctx[i].unused = true;
+        Point14 p;
+        p.from_bytes(first_point);
+        current = p.scanner_channel();
+        ctx[current].create(false, p, false);
+    }
+
+    void read(U8* out30) {
+        Point14Ctx* c = &ctx[current];
+        U32 lr = c->last.return_number(), ln = c->last.number_of_returns();
+        U32 lpr = (lr == 1 ? 1 : 0) + (lr >= ln ? 2 : 0) +
+                  (c->last_gps_time_change ? 4 : 0);
+        U32 changed =
+            layer[L14_CHANNEL_RETURNS_XY].dec.decodeSymbol(c->m_changed_values[lpr]);
+        if (changed & (1u << 6)) {
+            U32 diff =
+                layer[L14_CHANNEL_RETURNS_XY].dec.decodeSymbol(c->m_scanner_channel);
+            U32 sc = (current + diff + 1) & 3;
+            if (ctx[sc].unused)
+                ctx[sc].create(false, c->last, c->last_gps_time_change);
+            current = sc;
+            c = &ctx[current];
+            lr = c->last.return_number();
+            ln = c->last.number_of_returns();
+        }
+        bool point_source_change = changed & (1u << 5);
+        bool gps_time_change = changed & (1u << 4);
+        bool scan_angle_change = changed & (1u << 3);
+
+        Point14 item = c->last;
+        item.flags_byte = (U8)((item.flags_byte & ~0x30u) | (current << 4));
+
+        U32 n;
+        if (changed & (1u << 2))
+            n = layer[L14_CHANNEL_RETURNS_XY].dec.decodeSymbol(
+                c->lazy(c->m_number_of_returns, c->has_nr, ln, 16));
+        else
+            n = ln;
+        U32 r;
+        switch (changed & 3u) {
+            case 0: r = lr; break;
+            case 1: r = (lr + 1) & 15; break;
+            case 2: r = (lr + 15) & 15; break;
+            default:
+                if (gps_time_change)
+                    r = layer[L14_CHANNEL_RETURNS_XY].dec.decodeSymbol(
+                        c->lazy(c->m_return_number, c->has_rn, lr, 16));
+                else
+                    r = (lr + layer[L14_CHANNEL_RETURNS_XY].dec.decodeSymbol(
+                                  c->m_return_number_gps_same) +
+                         2) & 15;
+        }
+        item.returns_byte = (U8)(r | (n << 4));
+
+        U32 m = nr_map_6ctx(n, r);
+        U32 l = nr_level_8ctx(n, r);
+        U32 cpr = (r == 1 ? 2 : 0) + (r >= n ? 1 : 0);
+        U32 gtc = gps_time_change ? 1 : 0;
+
+        I32 median = c->last_X_diff_median5[(m << 1) | gtc].get();
+        I32 diff = c->ic_dX.decompress(layer[L14_CHANNEL_RETURNS_XY].dec, median,
+                                       n == 1);
+        item.x = c->last.x + diff;
+        c->last_X_diff_median5[(m << 1) | gtc].add(diff);
+
+        U32 k_bits = c->ic_dX.getK();
+        median = c->last_Y_diff_median5[(m << 1) | gtc].get();
+        diff = c->ic_dY.decompress(
+            layer[L14_CHANNEL_RETURNS_XY].dec, median,
+            (n == 1) + (k_bits < 20 ? (k_bits & ~1u) : 20));
+        item.y = c->last.y + diff;
+        c->last_Y_diff_median5[(m << 1) | gtc].add(diff);
+
+        if (layer[L14_Z].present) {
+            k_bits = (c->ic_dX.getK() + c->ic_dY.getK()) / 2;
+            item.z = c->ic_Z.decompress(
+                layer[L14_Z].dec, c->last_Z[l],
+                (n == 1) + (k_bits < 18 ? (k_bits & ~1u) : 18));
+            c->last_Z[l] = item.z;
+        } else {
+            item.z = c->last_Z[l];
+        }
+
+        if (layer[L14_CLASSIFICATION].present) {
+            U32 ccc = ((c->last.classification & 0x1F) << 1) + (cpr == 3 ? 1 : 0);
+            item.classification = (U8)layer[L14_CLASSIFICATION].dec.decodeSymbol(
+                c->lazy(c->m_classification, c->has_cls, ccc, 256));
+        }
+        if (layer[L14_FLAGS].present) {
+            U32 last_flags = (c->last.edge_of_flight() << 5) |
+                             (c->last.scan_direction() << 4) |
+                             c->last.classification_flags();
+            U32 flags = layer[L14_FLAGS].dec.decodeSymbol(
+                c->lazy(c->m_flags, c->has_flg, last_flags, 64));
+            item.flags_byte = (U8)((flags & 0x0F) | (current << 4) |
+                                   (((flags >> 4) & 1) << 6) |
+                                   (((flags >> 5) & 1) << 7));
+        }
+        if (layer[L14_INTENSITY].present) {
+            U32 ii = (cpr << 1) | gtc;
+            item.intensity = (U16)c->ic_intensity.decompress(
+                layer[L14_INTENSITY].dec, c->last_intensity[ii], cpr);
+            c->last_intensity[ii] = item.intensity;
+        }
+        if (scan_angle_change) {
+            if (layer[L14_SCAN_ANGLE].present)
+                item.scan_angle = (I16)(U16)c->ic_scan_angle.decompress(
+                    layer[L14_SCAN_ANGLE].dec, (U16)c->last.scan_angle, gtc);
+        }
+        if (layer[L14_USER_DATA].present) {
+            item.user_data = (U8)layer[L14_USER_DATA].dec.decodeSymbol(
+                c->lazy(c->m_user_data, c->has_usr, c->last.user_data / 4, 256));
+        }
+        if (point_source_change && layer[L14_POINT_SOURCE].present) {
+            item.point_source_ID = (U16)c->ic_point_source.decompress(
+                layer[L14_POINT_SOURCE].dec, c->last.point_source_ID, 0);
+        }
+        if (gps_time_change && layer[L14_GPS_TIME].present) {
+            U8 g8[8];
+            c->gps.read(layer[L14_GPS_TIME].dec, g8);
+            memcpy(&item.gps_time_bits, g8, 8);
+        }
+        item.to_bytes(out30);
+        c->last = item;
+        c->last_gps_time_change = gps_time_change;
+    }
+};
+
+struct Point14v3Enc {
+    Point14Ctx ctx[4];
+    U32 current = 0;
+    LayerEnc layer[L14_COUNT];
+    bool changed_flag[L14_COUNT];
+
+    void init(const U8* first_point) {
+        for (int i = 0; i < 4; i++) ctx[i].unused = true;
+        for (int i = 0; i < L14_COUNT; i++) {
+            layer[i].reset();
+            changed_flag[i] = false;
+        }
+        changed_flag[L14_CHANNEL_RETURNS_XY] = true;  // always emitted
+        Point14 p;
+        p.from_bytes(first_point);
+        current = p.scanner_channel();
+        ctx[current].create(true, p, false);
+    }
+
+    void write(const U8* in30) {
+        Point14 item;
+        item.from_bytes(in30);
+        Point14Ctx* c = &ctx[current];
+        U32 lr = c->last.return_number(), ln = c->last.number_of_returns();
+        U32 lpr = (lr == 1 ? 1 : 0) + (lr >= ln ? 2 : 0) +
+                  (c->last_gps_time_change ? 4 : 0);
+
+        U32 sc = item.scanner_channel();
+        bool channel_change = sc != current;
+        // EVERY comparison below is made against the context the DECODER
+        // will hold after the (potential) channel switch — the change
+        // bits gate copy-vs-decode of values in THAT context, so using
+        // the old context's last would desync used target contexts.
+        // (A fresh target context is seeded from the old last, so the
+        // two coincide there.)  The changed_values SYMBOL itself is
+        // still coded with the OLD context's model/lpr, exactly as the
+        // decoder reads it before learning of the switch.
+        Point14Ctx* c_after = c;
+        if (channel_change && !ctx[sc].unused) c_after = &ctx[sc];
+        bool point_source_change =
+            item.point_source_ID != c_after->last.point_source_ID;
+        bool gps_time_change = item.gps_time_bits != c_after->last.gps_time_bits;
+        bool scan_angle_change = item.scan_angle != c_after->last.scan_angle;
+        U32 n = item.number_of_returns(), r = item.return_number();
+        U32 changed = (channel_change ? (1u << 6) : 0) |
+                      (point_source_change ? (1u << 5) : 0) |
+                      (gps_time_change ? (1u << 4) : 0) |
+                      (scan_angle_change ? (1u << 3) : 0);
+        U32 lr2 = c_after->last.return_number(),
+            ln2 = c_after->last.number_of_returns();
+        U32 rbits;
+        if (r == lr2) rbits = 0;
+        else if (r == ((lr2 + 1) & 15)) rbits = 1;
+        else if (r == ((lr2 + 15) & 15)) rbits = 2;
+        else rbits = 3;
+        if (n != ln2) changed |= (1u << 2);
+        changed |= rbits;
+
+        Encoder& exy = layer[L14_CHANNEL_RETURNS_XY].enc;
+        exy.encodeSymbol(c->m_changed_values[lpr], changed);
+        if (channel_change) {
+            U32 diff = (sc + 4 - current - 1) & 3;
+            exy.encodeSymbol(c->m_scanner_channel, diff);
+            if (ctx[sc].unused)
+                ctx[sc].create(true, c->last, c->last_gps_time_change);
+            current = sc;
+            c = &ctx[current];
+        }
+        if (changed & (1u << 2))
+            exy.encodeSymbol(
+                c->lazy(c->m_number_of_returns, c->has_nr,
+                        c->last.number_of_returns(), 16),
+                n);
+        if (rbits == 3) {
+            if (gps_time_change)
+                exy.encodeSymbol(
+                    c->lazy(c->m_return_number, c->has_rn,
+                            c->last.return_number(), 16),
+                    r);
+            else
+                exy.encodeSymbol(
+                    c->m_return_number_gps_same,
+                    (r + 16 - c->last.return_number() - 2) & 15);
+        }
+
+        U32 m = nr_map_6ctx(n, r);
+        U32 l = nr_level_8ctx(n, r);
+        U32 cpr = (r == 1 ? 2 : 0) + (r >= n ? 1 : 0);
+        U32 gtc = gps_time_change ? 1 : 0;
+
+        I32 median = c->last_X_diff_median5[(m << 1) | gtc].get();
+        I32 diff = item.x - c->last.x;
+        c->ic_dX.compress(exy, median, item.x - c->last.x, n == 1);
+        c->last_X_diff_median5[(m << 1) | gtc].add(diff);
+
+        U32 k_bits = c->ic_dX.getK();
+        median = c->last_Y_diff_median5[(m << 1) | gtc].get();
+        diff = item.y - c->last.y;
+        c->ic_dY.compress(exy, median, diff,
+                          (n == 1) + (k_bits < 20 ? (k_bits & ~1u) : 20));
+        c->last_Y_diff_median5[(m << 1) | gtc].add(diff);
+
+        k_bits = (c->ic_dX.getK() + c->ic_dY.getK()) / 2;
+        c->ic_Z.compress(layer[L14_Z].enc, c->last_Z[l], item.z,
+                         (n == 1) + (k_bits < 18 ? (k_bits & ~1u) : 18));
+        if (item.z != c->last_Z[l]) changed_flag[L14_Z] = true;
+        c->last_Z[l] = item.z;
+
+        {
+            U32 ccc = ((c->last.classification & 0x1F) << 1) + (cpr == 3 ? 1 : 0);
+            layer[L14_CLASSIFICATION].enc.encodeSymbol(
+                c->lazy(c->m_classification, c->has_cls, ccc, 256),
+                item.classification);
+            if (item.classification != c->last.classification)
+                changed_flag[L14_CLASSIFICATION] = true;
+        }
+        {
+            U32 last_flags = (c->last.edge_of_flight() << 5) |
+                             (c->last.scan_direction() << 4) |
+                             c->last.classification_flags();
+            U32 flags = (item.edge_of_flight() << 5) |
+                        (item.scan_direction() << 4) |
+                        item.classification_flags();
+            layer[L14_FLAGS].enc.encodeSymbol(
+                c->lazy(c->m_flags, c->has_flg, last_flags, 64), flags);
+            if (flags != last_flags) changed_flag[L14_FLAGS] = true;
+        }
+        {
+            U32 ii = (cpr << 1) | gtc;
+            c->ic_intensity.compress(layer[L14_INTENSITY].enc,
+                                     c->last_intensity[ii], item.intensity, cpr);
+            if (item.intensity != c->last.intensity)
+                changed_flag[L14_INTENSITY] = true;
+            c->last_intensity[ii] = item.intensity;
+        }
+        if (scan_angle_change) {
+            c->ic_scan_angle.compress(layer[L14_SCAN_ANGLE].enc,
+                                      (U16)c->last.scan_angle,
+                                      (U16)item.scan_angle, gtc);
+            changed_flag[L14_SCAN_ANGLE] = true;
+        }
+        {
+            layer[L14_USER_DATA].enc.encodeSymbol(
+                c->lazy(c->m_user_data, c->has_usr, c->last.user_data / 4, 256),
+                item.user_data);
+            if (item.user_data != c->last.user_data)
+                changed_flag[L14_USER_DATA] = true;
+        }
+        if (point_source_change) {
+            c->ic_point_source.compress(layer[L14_POINT_SOURCE].enc,
+                                        c->last.point_source_ID,
+                                        item.point_source_ID, 0);
+            changed_flag[L14_POINT_SOURCE] = true;
+        }
+        if (gps_time_change) {
+            U8 g8[8];
+            memcpy(g8, &item.gps_time_bits, 8);
+            c->gps.write(layer[L14_GPS_TIME].enc, g8);
+            changed_flag[L14_GPS_TIME] = true;
+        }
+        c->last = item;
+        c->last_gps_time_change = gps_time_change;
+    }
+};
+
+// ---- RGB14 v3 (one layer) + NIR14 (second layer of RGBNIR14)
+struct Rgb14Ctx {
+    bool unused = true;
+    Rgb12Codec rgb;  // reuses the v2 byte-delta scheme per context
+};
+
+struct Rgb14v3 {
+    Rgb14Ctx ctx[4];
+    U32 current = 0;
+    bool compressing = false;
+
+    void init(const U8* first6, U32 context, bool compr) {
+        compressing = compr;
+        for (int i = 0; i < 4; i++) ctx[i].unused = true;
+        current = context;
+        ctx[current].rgb.setup(compr);
+        ctx[current].rgb.init(first6);
+        ctx[current].unused = false;
+    }
+    void switch_ctx(U32 context) {
+        if (context == current) return;
+        if (ctx[context].unused) {
+            U8 seed[6];
+            wr_u16(seed, ctx[current].rgb.last_r);
+            wr_u16(seed + 2, ctx[current].rgb.last_g);
+            wr_u16(seed + 4, ctx[current].rgb.last_b);
+            ctx[context].rgb.setup(compressing);
+            ctx[context].rgb.init(seed);
+            ctx[context].unused = false;
+        }
+        current = context;
+    }
+    void read(Decoder& dec, U8* out6, U32 context) {
+        switch_ctx(context);
+        ctx[current].rgb.read(dec, out6);
+    }
+    bool write(Encoder& enc, const U8* in6, U32 context) {
+        switch_ctx(context);
+        Rgb12Codec& rc = ctx[current].rgb;
+        bool changed = rd_u16(in6) != rc.last_r || rd_u16(in6 + 2) != rc.last_g ||
+                       rd_u16(in6 + 4) != rc.last_b;
+        rc.write(enc, in6);
+        return changed;
+    }
+};
+
+struct Nir14Ctx {
+    bool unused = true;
+    U16 last_nir = 0;
+    SymbolModel m_used;     // 4 syms: lo/hi byte changed bits
+    SymbolModel m_diff[2];  // 256 each
+};
+
+struct Nir14v3 {
+    Nir14Ctx ctx[4];
+    U32 current = 0;
+    bool compressing = false;
+
+    void create(U32 i, U16 seed) {
+        ctx[i].m_used.setup(4, compressing);
+        ctx[i].m_diff[0].setup(256, compressing);
+        ctx[i].m_diff[1].setup(256, compressing);
+        ctx[i].last_nir = seed;
+        ctx[i].unused = false;
+    }
+    void init(const U8* first2, U32 context, bool compr) {
+        compressing = compr;
+        for (int i = 0; i < 4; i++) ctx[i].unused = true;
+        current = context;
+        create(current, rd_u16(first2));
+    }
+    void switch_ctx(U32 context) {
+        if (context == current) return;
+        if (ctx[context].unused) create(context, ctx[current].last_nir);
+        current = context;
+    }
+    void read(Decoder& dec, U8* out2, U32 context) {
+        switch_ctx(context);
+        Nir14Ctx& c = ctx[current];
+        U32 sym = dec.decodeSymbol(c.m_used);
+        U8 lo = c.last_nir & 255, hi = c.last_nir >> 8;
+        if (sym & 1) lo = u8_fold((I32)dec.decodeSymbol(c.m_diff[0]) + lo);
+        if (sym & 2) hi = u8_fold((I32)dec.decodeSymbol(c.m_diff[1]) + hi);
+        c.last_nir = (U16)(lo | (hi << 8));
+        wr_u16(out2, c.last_nir);
+    }
+    bool write(Encoder& enc, const U8* in2, U32 context) {
+        switch_ctx(context);
+        Nir14Ctx& c = ctx[current];
+        U16 nir = rd_u16(in2);
+        U32 sym = (((c.last_nir & 255) != (nir & 255)) ? 1u : 0u) |
+                  (((c.last_nir >> 8) != (nir >> 8)) ? 2u : 0u);
+        enc.encodeSymbol(c.m_used, sym);
+        if (sym & 1)
+            enc.encodeSymbol(c.m_diff[0],
+                             u8_fold((I32)(nir & 255) - (I32)(c.last_nir & 255)));
+        if (sym & 2)
+            enc.encodeSymbol(c.m_diff[1],
+                             u8_fold((I32)(nir >> 8) - (I32)(c.last_nir >> 8)));
+        bool changed = nir != c.last_nir;
+        c.last_nir = nir;
+        return changed;
+    }
+};
+
+// ---- WAVEPACKET14 v3 (one layer; 29-byte item)
+struct Wp14Ctx {
+    bool unused = true;
+    U8 last[29];
+    U32 sym_last_offset_diff = 0;
+    I32 last_diff_32 = 0;
+    SymbolModel m_packet_index;
+    SymbolModel m_offset_diff[4];
+    IntegerCompressor ic_offset_diff, ic_packet_size, ic_return_point, ic_xyz;
+};
+
+struct Wavepacket14v3 {
+    Wp14Ctx ctx[4];
+    U32 current = 0;
+    bool compressing = false;
+
+    void create(U32 i, const U8* seed) {
+        Wp14Ctx& c = ctx[i];
+        c.m_packet_index.setup(256, compressing);
+        for (int k = 0; k < 4; k++) c.m_offset_diff[k].setup(4, compressing);
+        c.ic_offset_diff.setup(32, 1, compressing);
+        c.ic_packet_size.setup(32, 1, compressing);
+        c.ic_return_point.setup(32, 1, compressing);
+        c.ic_xyz.setup(32, 3, compressing);
+        memcpy(c.last, seed, 29);
+        c.sym_last_offset_diff = 0;
+        c.last_diff_32 = 0;
+        c.unused = false;
+    }
+    void init(const U8* first29, U32 context, bool compr) {
+        compressing = compr;
+        for (int i = 0; i < 4; i++) ctx[i].unused = true;
+        current = context;
+        create(current, first29);
+    }
+    void switch_ctx(U32 context) {
+        if (context == current) return;
+        if (ctx[context].unused) create(context, ctx[current].last);
+        current = context;
+    }
+    static U64 rd_u64(const U8* p) { U64 v; memcpy(&v, p, 8); return v; }
+    static void wr_u64(U8* p, U64 v) { memcpy(p, &v, 8); }
+
+    void read(Decoder& dec, U8* out29, U32 context) {
+        switch_ctx(context);
+        Wp14Ctx& c = ctx[current];
+        out29[0] = (U8)dec.decodeSymbol(c.m_packet_index);
+        U64 last_offset = rd_u64(c.last + 1);
+        U32 last_size = (U32)rd_i32(c.last + 9);
+        U32 sym = dec.decodeSymbol(c.m_offset_diff[c.sym_last_offset_diff]);
+        c.sym_last_offset_diff = sym;
+        U64 offset;
+        if (sym == 0) {
+            offset = last_offset;
+        } else if (sym == 1) {
+            offset = last_offset + last_size;
+        } else if (sym == 2) {
+            c.last_diff_32 = c.ic_offset_diff.decompress(dec, c.last_diff_32, 0);
+            offset = (U64)((I64)last_offset + c.last_diff_32);
+        } else {
+            U64 lo = dec.readInt();
+            U64 hi = dec.readInt();
+            offset = lo | (hi << 32);
+        }
+        wr_u64(out29 + 1, offset);
+        wr_i32(out29 + 9, c.ic_packet_size.decompress(dec, (I32)last_size, 0));
+        wr_i32(out29 + 13,
+               c.ic_return_point.decompress(dec, rd_i32(c.last + 13), 0));
+        wr_i32(out29 + 17, c.ic_xyz.decompress(dec, rd_i32(c.last + 17), 0));
+        wr_i32(out29 + 21, c.ic_xyz.decompress(dec, rd_i32(c.last + 21), 1));
+        wr_i32(out29 + 25, c.ic_xyz.decompress(dec, rd_i32(c.last + 25), 2));
+        memcpy(c.last, out29, 29);
+    }
+    bool write(Encoder& enc, const U8* in29, U32 context) {
+        switch_ctx(context);
+        Wp14Ctx& c = ctx[current];
+        bool changed = memcmp(in29, c.last, 29) != 0;
+        enc.encodeSymbol(c.m_packet_index, in29[0]);
+        U64 last_offset = rd_u64(c.last + 1);
+        U32 last_size = (U32)rd_i32(c.last + 9);
+        U64 offset = rd_u64(in29 + 1);
+        U32 sym;
+        if (offset == last_offset) sym = 0;
+        else if (offset == last_offset + last_size) sym = 1;
+        else {
+            I64 d = (I64)offset - (I64)last_offset;
+            sym = ((I64)(I32)d == d) ? 2 : 3;
+        }
+        enc.encodeSymbol(c.m_offset_diff[c.sym_last_offset_diff], sym);
+        c.sym_last_offset_diff = sym;
+        if (sym == 2) {
+            I32 d = (I32)((I64)offset - (I64)last_offset);
+            c.ic_offset_diff.compress(enc, c.last_diff_32, d, 0);
+            c.last_diff_32 = d;
+        } else if (sym == 3) {
+            enc.writeInt((U32)offset);
+            enc.writeInt((U32)(offset >> 32));
+        }
+        c.ic_packet_size.compress(enc, (I32)last_size, rd_i32(in29 + 9), 0);
+        c.ic_return_point.compress(enc, rd_i32(c.last + 13), rd_i32(in29 + 13), 0);
+        c.ic_xyz.compress(enc, rd_i32(c.last + 17), rd_i32(in29 + 17), 0);
+        c.ic_xyz.compress(enc, rd_i32(c.last + 21), rd_i32(in29 + 21), 1);
+        c.ic_xyz.compress(enc, rd_i32(c.last + 25), rd_i32(in29 + 25), 2);
+        memcpy(c.last, in29, 29);
+        return changed;
+    }
+};
+
+// ---- format 6-10 record layout
+struct Format14Layout {
+    bool has_rgb, has_nir, has_wave;
+    int record_len;
+    int rgb_off, nir_off, wave_off;
+};
+
+bool layout14_for(int fmt, Format14Layout* L) {
+    switch (fmt) {
+        case 6: *L = {false, false, false, 30, 0, 0, 0}; return true;
+        case 7: *L = {true, false, false, 36, 30, 0, 0}; return true;
+        case 8: *L = {true, true, false, 38, 30, 36, 0}; return true;
+        case 9: *L = {false, false, true, 59, 0, 0, 30}; return true;
+        case 10: *L = {true, true, true, 67, 30, 36, 38}; return true;
+        default: return false;
+    }
+}
+
 // --------------------------------------------------------- chunk layout
 
 struct FormatLayout {
@@ -1155,6 +1871,51 @@ bool layout_for(int fmt, FormatLayout* L) {
     }
 }
 
+// shared chunk-table reader: fills starts (byte offsets within `data`)
+// and, for variable-size chunks (chunk_size == U32_MAX), per-chunk
+// point counts.  Returns number of chunks, or -1 on error.
+long long read_chunk_table(const U8* data, long long data_len,
+                           long long table_rel, unsigned chunk_size,
+                           long long n_points, int min_chunk_bytes,
+                           std::vector<I64>& starts,
+                           std::vector<I64>& counts) {
+    if (table_rel < 0 || table_rel + 8 > data_len) return -1;
+    U32 version, num_chunks;
+    memcpy(&version, data + table_rel, 4);
+    memcpy(&num_chunks, data + table_rel + 4, 4);
+    if (version != 0) return -1;
+    bool variable = chunk_size == 0xFFFFFFFFu;
+    if (!variable) {
+        long long expect = (n_points + chunk_size - 1) / chunk_size;
+        if ((long long)num_chunks != expect) return -1;
+    } else if (num_chunks == 0 || num_chunks > (U32)n_points) {
+        return -1;
+    }
+    starts.assign(num_chunks + 1, 0);
+    counts.assign(num_chunks, 0);
+    Decoder dec;
+    dec.init(data + table_rel + 8, (size_t)(data_len - table_rel - 8));
+    IntegerCompressor ic;
+    ic.setup(32, 2, false);
+    I32 prev_cnt = 0, prev_sz = 0;
+    long long total_cnt = 0;
+    for (U32 i = 0; i < num_chunks; i++) {
+        if (variable) {
+            I32 cnt = ic.decompress(dec, prev_cnt, 0);
+            prev_cnt = cnt;
+            counts[i] = cnt;
+            total_cnt += cnt;
+            if (cnt <= 0) return -1;
+        }
+        I32 sz = ic.decompress(dec, prev_sz, 1);
+        prev_sz = sz;
+        starts[i + 1] = starts[i] + sz;
+        if (sz < min_chunk_bytes || starts[i + 1] > table_rel) return -1;
+    }
+    if (variable && total_cnt < n_points) return -1;
+    return (long long)num_chunks;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1167,31 +1928,14 @@ long long laz_decode_points(const unsigned char* data, long long data_len,
                             unsigned int chunk_size, unsigned char* out) {
     FormatLayout L;
     if (!layout_for(fmt, &L)) return -1;
-    if (table_rel < 0 || table_rel + 8 > data_len) return -1;
     if (chunk_size == 0) return -1;
+    bool variable = chunk_size == 0xFFFFFFFFu;
 
-    // ---- chunk table: u32 version, u32 count, compressed byte sizes
-    U32 version, num_chunks;
-    memcpy(&version, data + table_rel, 4);
-    memcpy(&num_chunks, data + table_rel + 4, 4);
-    if (version != 0) return -1;
-    long long expect_chunks = (n_points + chunk_size - 1) / chunk_size;
-    if ((long long)num_chunks != expect_chunks) return -1;
-    std::vector<I64> chunk_starts(num_chunks + 1);
-    {
-        Decoder dec;
-        dec.init(data + table_rel + 8, (size_t)(data_len - table_rel - 8));
-        IntegerCompressor ic;
-        ic.setup(32, 2, false);
-        I32 prev = 0;
-        chunk_starts[0] = 0;
-        for (U32 i = 0; i < num_chunks; i++) {
-            I32 sz = ic.decompress(dec, prev, 1);
-            prev = sz;
-            chunk_starts[i + 1] = chunk_starts[i] + sz;
-            if (sz < L.record_len || chunk_starts[i + 1] > table_rel) return -1;
-        }
-    }
+    std::vector<I64> chunk_starts, chunk_counts;
+    long long num_chunks = read_chunk_table(
+        data, data_len, table_rel, chunk_size, n_points, L.record_len,
+        chunk_starts, chunk_counts);
+    if (num_chunks < 0) return -1;
 
     Point10Codec p10;
     GpsTime11Codec gps;
@@ -1201,11 +1945,12 @@ long long laz_decode_points(const unsigned char* data, long long data_len,
     if (L.has_rgb) rgb.setup(false);
 
     long long done = 0;
-    for (U32 c = 0; c < num_chunks && done < n_points; c++) {
+    for (long long c = 0; c < num_chunks && done < n_points; c++) {
         const U8* cp = data + chunk_starts[c];
         long long cbytes = chunk_starts[c + 1] - chunk_starts[c];
         long long in_chunk = n_points - done;
-        if (in_chunk > (long long)chunk_size) in_chunk = chunk_size;
+        long long cap_chunk = variable ? chunk_counts[c] : (long long)chunk_size;
+        if (in_chunk > cap_chunk) in_chunk = cap_chunk;
         // first point raw
         U8* o = out + done * L.record_len;
         memcpy(o, cp, L.record_len);
@@ -1274,6 +2019,218 @@ long long laz_encode_points(const unsigned char* records, long long n,
     }
 
     // ---- chunk table
+    long long table_at = (long long)buf.size();
+    U32 version = 0, nc32 = (U32)num_chunks;
+    buf.insert(buf.end(), (U8*)&version, (U8*)&version + 4);
+    buf.insert(buf.end(), (U8*)&nc32, (U8*)&nc32 + 4);
+    {
+        Encoder enc;
+        enc.init(&buf);
+        IntegerCompressor ic;
+        ic.setup(32, 2, true);
+        I32 prev = 0;
+        for (long long i = 0; i < num_chunks; i++) {
+            ic.compress(enc, prev, (I32)chunk_bytes[i], 1);
+            prev = (I32)chunk_bytes[i];
+        }
+        enc.done();
+    }
+
+    if ((long long)buf.size() > out_cap) return -2;
+    memcpy(out, buf.data(), buf.size());
+    *table_rel = table_at;
+    return (long long)buf.size();
+}
+
+// ---- LAS 1.4 layered (compressor 3, item version 3), formats 6-10.
+// Chunk layout: [raw first point][u32 point count][u32 size per layer]
+// [layer bytes...].  Variable-size chunks (chunk_size == 0xFFFFFFFF)
+// take per-chunk counts from the chunk table.
+long long laz_decode_points14(const unsigned char* data, long long data_len,
+                              long long table_rel, long long n_points,
+                              int fmt, unsigned int chunk_size,
+                              unsigned char* out) {
+    Format14Layout L;
+    if (!layout14_for(fmt, &L)) return -1;
+    if (chunk_size == 0) return -1;
+    bool variable = chunk_size == 0xFFFFFFFFu;
+
+    int n_layers = L14_COUNT + (L.has_rgb ? 1 : 0) + (L.has_nir ? 1 : 0) +
+                   (L.has_wave ? 1 : 0);
+    std::vector<I64> chunk_starts, chunk_counts;
+    long long num_chunks = read_chunk_table(
+        data, data_len, table_rel, chunk_size, n_points,
+        L.record_len + 4 + 4 * n_layers, chunk_starts, chunk_counts);
+    if (num_chunks < 0) return -1;
+
+    Point14v3Dec p14;
+    Rgb14v3 rgb;
+    Nir14v3 nir;
+    Wavepacket14v3 wave;
+    LayerDec rgb_layer, nir_layer, wave_layer;
+
+    long long done = 0;
+    for (long long c = 0; c < num_chunks && done < n_points; c++) {
+        const U8* cp = data + chunk_starts[c];
+        long long cbytes = chunk_starts[c + 1] - chunk_starts[c];
+        long long in_chunk = n_points - done;
+        long long cap_chunk = variable ? chunk_counts[c] : (long long)chunk_size;
+        if (in_chunk > cap_chunk) in_chunk = cap_chunk;
+
+        // raw first point
+        U8* o = out + done * L.record_len;
+        memcpy(o, cp, L.record_len);
+        long long pos = L.record_len;
+        if (pos + 4 + 4 * n_layers > cbytes) return -1;
+        U32 stored_count;
+        memcpy(&stored_count, cp + pos, 4);
+        pos += 4;
+        if ((long long)stored_count != in_chunk) return -1;
+        std::vector<U32> sizes(n_layers);
+        for (int i = 0; i < n_layers; i++) {
+            memcpy(&sizes[i], cp + pos, 4);
+            pos += 4;
+        }
+        long long total = 0;
+        for (int i = 0; i < n_layers; i++) total += sizes[i];
+        if (pos + total > cbytes) return -1;
+        int li = 0;
+        for (; li < L14_COUNT; li++) {
+            p14.layer[li].attach(cp + pos, sizes[li]);
+            pos += sizes[li];
+        }
+        if (L.has_rgb) { rgb_layer.attach(cp + pos, sizes[li]); pos += sizes[li]; li++; }
+        if (L.has_nir) { nir_layer.attach(cp + pos, sizes[li]); pos += sizes[li]; li++; }
+        if (L.has_wave) { wave_layer.attach(cp + pos, sizes[li]); pos += sizes[li]; li++; }
+
+        p14.init(o);
+        U32 ctx0 = p14.current;
+        if (L.has_rgb) rgb.init(o + L.rgb_off, ctx0, false);
+        if (L.has_nir) nir.init(o + L.nir_off, ctx0, false);
+        if (L.has_wave) wave.init(o + L.wave_off, ctx0, false);
+
+        for (long long i = 1; i < in_chunk; i++) {
+            U8* oi = out + (done + i) * L.record_len;
+            p14.read(oi);
+            U32 cc = p14.current;
+            if (L.has_rgb) {
+                if (rgb_layer.present) rgb.read(rgb_layer.dec, oi + L.rgb_off, cc);
+                else {
+                    rgb.switch_ctx(cc);
+                    Rgb12Codec& rc = rgb.ctx[cc].rgb;
+                    wr_u16(oi + L.rgb_off, rc.last_r);
+                    wr_u16(oi + L.rgb_off + 2, rc.last_g);
+                    wr_u16(oi + L.rgb_off + 4, rc.last_b);
+                }
+            }
+            if (L.has_nir) {
+                if (nir_layer.present) nir.read(nir_layer.dec, oi + L.nir_off, cc);
+                else {
+                    nir.switch_ctx(cc);
+                    wr_u16(oi + L.nir_off, nir.ctx[cc].last_nir);
+                }
+            }
+            if (L.has_wave) {
+                if (wave_layer.present) wave.read(wave_layer.dec, oi + L.wave_off, cc);
+                else {
+                    wave.switch_ctx(cc);
+                    memcpy(oi + L.wave_off, wave.ctx[cc].last, 29);
+                }
+            }
+        }
+        done += in_chunk;
+    }
+    return done;
+}
+
+long long laz_encode_points14(const unsigned char* records, long long n,
+                              int fmt, unsigned int chunk_size,
+                              unsigned char* out, long long out_cap,
+                              long long* table_rel) {
+    Format14Layout L;
+    if (!layout14_for(fmt, &L)) return -1;
+    if (chunk_size == 0 || chunk_size == 0xFFFFFFFFu || n <= 0) return -1;
+
+    int n_layers = L14_COUNT + (L.has_rgb ? 1 : 0) + (L.has_nir ? 1 : 0) +
+                   (L.has_wave ? 1 : 0);
+    std::vector<U8> buf;
+    buf.reserve((size_t)(n * L.record_len / 2 + 1024));
+    long long num_chunks = (n + chunk_size - 1) / chunk_size;
+    std::vector<I64> chunk_bytes(num_chunks);
+
+    Point14v3Enc p14;
+    Rgb14v3 rgb;
+    Nir14v3 nir;
+    Wavepacket14v3 wave;
+    LayerEnc rgb_layer, nir_layer, wave_layer;
+
+    long long done = 0;
+    for (long long c = 0; c < num_chunks; c++) {
+        long long in_chunk = n - done;
+        if (in_chunk > (long long)chunk_size) in_chunk = chunk_size;
+        size_t chunk_start = buf.size();
+        const U8* first = records + done * L.record_len;
+        buf.insert(buf.end(), first, first + L.record_len);
+
+        p14.init(first);
+        U32 ctx0 = p14.current;
+        rgb_layer.reset();
+        nir_layer.reset();
+        wave_layer.reset();
+        bool rgb_changed = false, nir_changed = false, wave_changed = false;
+        if (L.has_rgb) rgb.init(first + L.rgb_off, ctx0, true);
+        if (L.has_nir) nir.init(first + L.nir_off, ctx0, true);
+        if (L.has_wave) wave.init(first + L.wave_off, ctx0, true);
+
+        for (long long i = 1; i < in_chunk; i++) {
+            const U8* ri = records + (done + i) * L.record_len;
+            p14.write(ri);
+            U32 cc = p14.current;
+            if (L.has_rgb)
+                rgb_changed |= rgb.write(rgb_layer.enc, ri + L.rgb_off, cc);
+            if (L.has_nir)
+                nir_changed |= nir.write(nir_layer.enc, ri + L.nir_off, cc);
+            if (L.has_wave)
+                wave_changed |= wave.write(wave_layer.enc, ri + L.wave_off, cc);
+        }
+
+        // close all layers; unchanged optional layers emit 0 bytes
+        U32 sizes[16];
+        int li = 0;
+        for (; li < L14_COUNT; li++) {
+            U32 sz = p14.layer[li].close();
+            sizes[li] = p14.changed_flag[li] ? sz : 0;
+        }
+        if (L.has_rgb) sizes[li++] = rgb_changed ? rgb_layer.close() : (rgb_layer.close(), 0);
+        if (L.has_nir) sizes[li++] = nir_changed ? nir_layer.close() : (nir_layer.close(), 0);
+        if (L.has_wave) sizes[li++] = wave_changed ? wave_layer.close() : (wave_layer.close(), 0);
+
+        U32 cnt = (U32)in_chunk;
+        buf.insert(buf.end(), (U8*)&cnt, (U8*)&cnt + 4);
+        for (int i = 0; i < n_layers; i++)
+            buf.insert(buf.end(), (U8*)&sizes[i], (U8*)&sizes[i] + 4);
+        li = 0;
+        for (; li < L14_COUNT; li++)
+            if (sizes[li])
+                buf.insert(buf.end(), p14.layer[li].buf.begin(),
+                           p14.layer[li].buf.end());
+        if (L.has_rgb) {
+            if (sizes[li]) buf.insert(buf.end(), rgb_layer.buf.begin(), rgb_layer.buf.end());
+            li++;
+        }
+        if (L.has_nir) {
+            if (sizes[li]) buf.insert(buf.end(), nir_layer.buf.begin(), nir_layer.buf.end());
+            li++;
+        }
+        if (L.has_wave) {
+            if (sizes[li]) buf.insert(buf.end(), wave_layer.buf.begin(), wave_layer.buf.end());
+            li++;
+        }
+        chunk_bytes[c] = (I64)(buf.size() - chunk_start);
+        done += in_chunk;
+    }
+
+    // ---- chunk table (same coding as the v2 container)
     long long table_at = (long long)buf.size();
     U32 version = 0, nc32 = (U32)num_chunks;
     buf.insert(buf.end(), (U8*)&version, (U8*)&version + 4);

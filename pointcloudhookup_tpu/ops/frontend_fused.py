@@ -35,11 +35,40 @@ from pointcloudhookup_tpu.ops.percentile import masked_percentile
 from pointcloudhookup_tpu.ops.segments import segmented_scan
 
 
+def hier_sort_eligible(span_xyz, voxel_size: float = 0.1,
+                       cell_shift: int = 5) -> bool:
+    """True when a tile's Morton codes fit the single-u32 cell key that
+    sort_mode='hier' needs (max code >> 3*cell_shift < 2**32 - 1).
+
+    span_xyz: per-axis extent in meters (max - min), host values.
+    Monotonicity of the Morton spread means the max-corner code bounds
+    every point's code, so a host-side corner check suffices.
+    """
+    import numpy as _np
+
+    idx = _np.floor(
+        _np.asarray(span_xyz, _np.float64) / float(voxel_size)
+    ).astype(_np.int64)
+    if (idx >= (1 << 20)).any() or (idx < 0).any():
+        return False
+
+    def _spread(v):
+        v = int(v)
+        out = 0
+        for b in range(20):
+            out |= ((v >> b) & 1) << (3 * b)
+        return out
+
+    code = _spread(idx[0]) | (_spread(idx[1]) << 1) | (_spread(idx[2]) << 2)
+    return (code >> (3 * cell_shift)) < 0xFFFFFFFF
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "params", "max_cells", "min_cell_points", "cell_shift",
         "geometric_voxels", "emit", "return_cells_overflow",
+        "sort_mode", "hier_window", "_cut",
     ),
 )
 def fused_downsample_ground_cluster(
@@ -55,6 +84,9 @@ def fused_downsample_ground_cluster(
     emit: str = "xyz",
     ground_override=None,
     return_cells_overflow: bool = False,
+    sort_mode: str = "full",
+    hier_window: int = 256,
+    _cut: int = 0,
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
     clustering.
@@ -78,10 +110,25 @@ def fused_downsample_ground_cluster(
         raise ValueError(f"emit must be 'xyz' or 'codes', got {emit!r}")
     if emit == "codes" and not geometric_voxels:
         raise ValueError("emit='codes' requires geometric_voxels=True")
+    if sort_mode not in ("full", "hier"):
+        raise ValueError(f"sort_mode must be 'full' or 'hier', got {sort_mode!r}")
+    if sort_mode == "hier" and not geometric_voxels:
+        raise ValueError("sort_mode='hier' requires geometric_voxels=True")
     n = xyz.shape[0]
     m = max_cells
     gp = params.ground
     cp = params.cluster
+    # cell-graph soundness: two points in 3D-diagonal-adjacent cells can
+    # be arbitrarily close, so the cell DIAGONAL must stay under eps or
+    # a cluster can split on a cell-phase accident (center-distance
+    # connectivity misses the sqrt(3)*cell 3D diagonal).  cell_shift is
+    # therefore a CAP; the effective shift shrinks with eps.  At the
+    # reference eps = 8 m the default 3.2 m cells are unchanged.
+    import math
+
+    safe_shift = int(math.floor(math.log2(
+        max(cp.eps / (math.sqrt(3.0) * voxel_size), 1e-6))))
+    cell_shift = max(2, min(cell_shift, safe_shift))
     eps = jnp.float32(cp.eps)
     big = jnp.float32(3.0e38)
     shift3k = 3 * cell_shift
@@ -97,13 +144,79 @@ def fused_downsample_ground_cluster(
         # non-sentinel row has weight 1, so the per-voxel point count is
         # never needed — voxel validity is just `hi != SENTINEL` at run
         # starts.  Saves one sort payload AND the [N] count scan.
-        hi, lo = lax.sort((hi, lo), num_keys=2)
+        if sort_mode == "hier":
+            # Hierarchical sort: lax.sort cost on TPU is driven by the
+            # NUMBER OF KEYS, not operand bytes (2xu32 keys ~12.1 ms at
+            # 4M vs u32 key + u16 payload ~9.2 ms — payloads are nearly
+            # free).  So: ONE single-key sort by the u32 CELL code
+            # k1 = C >> 3k groups cells exactly, with the 3k within-cell
+            # bits riding as a u16 payload; then two offset window sorts
+            # of length hier_window (cost ~ log^2 W vs log^2 N stages)
+            # restore full (k1, w) order wherever a cell's run length
+            # <= hier_window/2 + 1 (any such interval lies wholly inside
+            # a window of one of the two passes, and a later window sort
+            # can never un-sort a run a previous pass ordered).  Cells
+            # denser than that keep exact cell grouping but may count a
+            # duplicate voxel twice — thresholds are unaffected (such
+            # cells are far above min_cell_points/min_points) and box
+            # centers/extents are duplicate-insensitive; callers check
+            # eligibility with hier_sort_eligible() (codes must fit the
+            # u32 cell key).
+            k1 = (hi.astype(jnp.uint32) << (30 - shift3k)) | (
+                lo.astype(jnp.uint32) >> shift3k
+            )
+            k1 = jnp.where(mask, k1, jnp.uint32(0xFFFFFFFF))
+            w16 = (lo & ((1 << shift3k) - 1)).astype(jnp.uint16)
+            k1, w16 = lax.sort((k1, w16), num_keys=1)
+            W = hier_window
+            pad = (-n) % W
+            if pad:
+                k1 = jnp.concatenate(
+                    [k1, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]
+                )
+                w16 = jnp.concatenate(
+                    [w16, jnp.full(pad, 0x7FFF, jnp.uint16)]
+                )
+
+            def _winsort(a, b):
+                a2, b2 = lax.sort(
+                    (a.reshape(-1, W), b.reshape(-1, W)),
+                    dimension=1,
+                    num_keys=2,
+                )
+                return a2.reshape(-1), b2.reshape(-1)
+
+            k1, w16 = _winsort(k1, w16)
+            half = W // 2
+            if k1.shape[0] > W:
+                mid_k, mid_w = _winsort(k1[half:-half], w16[half:-half])
+                k1 = lax.dynamic_update_slice(k1, mid_k, (half,))
+                w16 = lax.dynamic_update_slice(w16, mid_w, (half,))
+            if pad:
+                k1, w16 = k1[:n], w16[:n]
+            lo = (
+                ((k1 & ((1 << (30 - shift3k)) - 1)) << shift3k)
+                | w16.astype(jnp.uint32)
+            ).astype(jnp.int32)
+            hi = jnp.where(
+                k1 == jnp.uint32(0xFFFFFFFF),
+                SENTINEL_HI,
+                (k1 >> (30 - shift3k)).astype(jnp.int32),
+            )
+        else:
+            hi, lo = lax.sort((hi, lo), num_keys=2)
         sx = sy = sz = None
     else:
         w_in = mask.astype(jnp.float32)
         hi, lo, sx, sy, sz, w = lax.sort(
             (hi, lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], w_in), num_keys=2
         )
+
+    # _cut: cumulative-profiling early exits (benchmarks/profile_post.py)
+    # — prefix timings difference out per-stage cost with the dispatch
+    # floor cancelling; 0 (default) runs the whole pipeline.
+    if _cut == 1:
+        return hi, lo
 
     # ---- voxel runs -> centroids/counts at run-start rows
     v_start = ((hi != jnp.roll(hi, 1)) | (lo != jnp.roll(lo, 1))).at[0].set(True)
@@ -166,6 +279,9 @@ def fused_downsample_ground_cluster(
             lambda: keep,
         )
 
+    if _cut == 2:
+        return keep, base
+
     # ---- cell runs (Morton prefix boundaries), stats over KEPT voxels
     if shift3k >= 30:
         c_hi = hi >> (shift3k - 30)
@@ -188,6 +304,9 @@ def fused_downsample_ground_cluster(
     # which routes through the one-pass pallas kernel on TPU)
     first_row = jnp.zeros(n, bool).at[0].set(True)
     pidx_row = segmented_scan(jnp.add, dense_start.astype(jnp.int32), first_row) - 1
+
+    if _cut == 3:
+        return pidx_row, ctot
 
     # ---- pack the dense-cell table.  pidx_row is non-decreasing and
     # increments exactly at dense starts, so packed cell j's start row is
@@ -215,6 +334,9 @@ def fused_downsample_ground_cluster(
     ccount = jnp.where(cell_alive, ccount, 0.0)
     centers = jnp.where(cell_alive[:, None], ccent, big)
 
+    if _cut == 4:
+        return centers, ccount, cell_alive
+
     # ---- cell-graph clustering (fused pallas kernel on TPU)
     eps2 = eps * eps
     iota_m = jnp.arange(m, dtype=jnp.int32)
@@ -238,6 +360,9 @@ def fused_downsample_ground_cluster(
         )
     cell_labels = compact_labels(cell_labels, jnp.int32(m))
 
+    if _cut == 5:
+        return cell_labels, keep
+
     # ---- per-voxel labels: deliver each packed cell's label to its
     # start row (m-sized scatter — tiny) and forward-fill across the
     # cell run (one segmented max scan).  An [N]-gather from the m-table
@@ -252,10 +377,24 @@ def fused_downsample_ground_cluster(
         # stay unlabeled.  Callers that surface quality flags ask for
         # the dropped-cell count instead of failing silently.
         cells_over = jnp.maximum(n_dense - jnp.int32(m), 0).astype(jnp.float32)
+        if sort_mode == "hier":
+            # hier dedup-exactness guard: cells whose RAW run exceeds
+            # the window guarantee may count duplicate voxels twice
+            # (never drops towers; thresholds/box centers unaffected) —
+            # surfaced so quality monitoring can see it.
+            guarantee = hier_window // 2 + 1
+            rtot = segmented_scan(
+                jnp.add, jnp.ones(n, jnp.int32), c_start, reverse=True
+            )
+            hier_over = jnp.sum(
+                (c_start & (rtot > guarantee)).astype(jnp.int32)
+            ).astype(jnp.float32)
+        else:
+            hier_over = jnp.float32(0.0)
         if emit == "codes":
-            return hi, lo, keep, labels, base, mn, cells_over
+            return hi, lo, keep, labels, base, mn, cells_over, hier_over
         ds_xyz = jnp.where(voxel_valid[:, None], vcent, 0.0)
-        return ds_xyz, keep, labels, base, cells_over
+        return ds_xyz, keep, labels, base, cells_over, hier_over
     if emit == "codes":
         return hi, lo, keep, labels, base, mn
     ds_xyz = jnp.where(voxel_valid[:, None], vcent, 0.0)
@@ -266,7 +405,7 @@ def fused_downsample_ground_cluster(
     jax.jit,
     static_argnames=(
         "params", "max_cells", "min_cell_points", "geometric_voxels",
-        "per_cluster_cap", "points_cap", "obb",
+        "per_cluster_cap", "points_cap", "obb", "sort_mode", "hier_window",
     ),
 )
 def fused_extract_step(
@@ -280,6 +419,8 @@ def fused_extract_step(
     per_cluster_cap: int = 16384,
     points_cap: int | None = None,
     obb: str = "auto",
+    sort_mode: str = "full",
+    hier_window: int = 256,
 ):
     """Full fused front-end + OBB + filters (the bench fast path).
 
@@ -301,10 +442,12 @@ def fused_extract_step(
     if obb == "auto":
         obb = "accum" if jax.default_backend() == "tpu" else "sort"
     if geometric_voxels:
-        hi, lo, keep, labels, base, mn, cells_over = fused_downsample_ground_cluster(
+        (hi, lo, keep, labels, base, mn, cells_over,
+         hier_over) = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=max_cells,
             min_cell_points=min_cell_points, geometric_voxels=True, emit="codes",
-            return_cells_overflow=True,
+            return_cells_overflow=True, sort_mode=sort_mode,
+            hier_window=hier_window,
         )
         if obb == "accum":
             stats = cluster_obb_stats_accum(
@@ -319,8 +462,9 @@ def fused_extract_step(
             )
         accepted = filter_and_dedup(stats, params.filters)
         return dict(labels=labels, ground_keep=keep, base_height=base,
-                    accepted=accepted, cells_overflow=cells_over, **stats)
-    ds_xyz, keep, labels, base, cells_over = fused_downsample_ground_cluster(
+                    accepted=accepted, cells_overflow=cells_over,
+                    hier_runs_over=hier_over, **stats)
+    ds_xyz, keep, labels, base, cells_over, hier_over = fused_downsample_ground_cluster(
         xyz, mask, params, max_cells=max_cells, min_cell_points=min_cell_points,
         geometric_voxels=geometric_voxels, return_cells_overflow=True,
     )
@@ -331,4 +475,4 @@ def fused_extract_step(
     accepted = filter_and_dedup(stats, params.filters)
     return dict(labels=labels, ground_keep=keep, base_height=base,
                 accepted=accepted, ds_xyz=ds_xyz, cells_overflow=cells_over,
-                **stats)
+                hier_runs_over=hier_over, **stats)

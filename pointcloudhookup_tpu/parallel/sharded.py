@@ -189,7 +189,7 @@ def make_sharded_extract(
 
         base, use_retry = _global_ground_base(xyz, mask, params)
         cp = params.cluster
-        hi, lo, keep, labels, _, mn, cells_over = fused_downsample_ground_cluster(
+        hi, lo, keep, labels, _, mn, cells_over, _hier = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=fused_cells,
             min_cell_points=cp.min_cell_points, geometric_voxels=True,
             emit="codes", ground_override=(base, use_retry),

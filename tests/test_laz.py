@@ -162,41 +162,74 @@ def test_laz_rejects_mismatched_record_len(tmp_path, rng):
         read_laz_bytes(bytes(data), "a.laz")
 
 
-def test_laz_rejects_unsupported_chunking(tmp_path, rng):
-    """Variable-size chunks and table-offset -1 are spec-legal layouts
-    this decoder does not support — the error must say so, not claim
-    corruption."""
+def test_laz_v2_parked_table_and_variable_chunks(tmp_path, rng):
+    """Round 2 rejected the chunk-table-offset -1 and variable-size
+    chunk layouts; both are now SUPPORTED for the legacy formats too.
+    The variable-chunk fixture is hand-built from the spec (1-point
+    chunks: raw record + the 4-byte coder flush) with the independent
+    Python coder from tests/test_laz14.py."""
     import struct
 
     import pytest
 
-    from pointcloudhookup_tpu.io.laz import read_laz_bytes
+    from pointcloudhookup_tpu.io.laz import build_laszip_vlr, read_laz_bytes
+    from tests.test_laz14 import PyEncoder, PyIC
 
+    # --- parked-table layout on a real encoder output: move the table
+    # pointer to -1 and append the parked position
     las = _make(0, 100, rng)
     p = str(tmp_path / "b.laz")
     write_laz(las, p)
     raw = open(p, "rb").read()
-
-    # chunk table offset -1 (non-seekable writer layout)
     data = bytearray(raw)
     header_size, point_offset, _ = struct.unpack_from("<HII", data, 94)
+    table_abs = struct.unpack_from("<q", data, point_offset)[0]
     struct.pack_into("<q", data, point_offset, -1)
-    with pytest.raises(ValueError, match="chunk table offset -1"):
-        read_laz_bytes(bytes(data), "b.laz")
+    data += struct.pack("<q", table_abs)
+    got = read_laz_bytes(bytes(data), "parked.laz")
+    assert np.array_equal(got.points, las.points)
 
-    # variable-size chunks: patch chunk_size inside the LASzip VLR
-    data = bytearray(raw)
-    vlr = data[header_size:point_offset]
-    pos = 0
-    while pos + 54 <= len(vlr):
-        user_id, record_id, length = struct.unpack_from("<16sHH", vlr, pos + 2)
-        if user_id.rstrip(b"\x00") == b"laszip encoded":
-            # chunk_size sits at offset 12 of the record payload
-            struct.pack_into("<I", data, header_size + pos + 54 + 12, 0xFFFFFFFF)
-            break
-        pos += 54 + length
-    with pytest.raises(ValueError, match="variable-size chunks"):
-        read_laz_bytes(bytes(data), "b.laz")
+    # --- genuinely corrupt parked pointer still raises cleanly
+    bad = bytearray(raw)
+    struct.pack_into("<q", bad, point_offset, -1)  # no parked position
+    with pytest.raises(ValueError):
+        read_laz_bytes(bytes(bad), "corrupt.laz")
+
+    # --- spec-built v2 variable-chunk image (format 0, 1-pt chunks)
+    coords = [(10.0, 20.0, 3.0), (10.5, 20.2, 3.1), (11.0, 19.8, 2.9)]
+    scale = 0.01
+    recs = []
+    for x, y, z in coords:
+        r = bytearray(20)
+        struct.pack_into("<iii", r, 0, int(round(x / scale)),
+                         int(round(y / scale)), int(round(z / scale)))
+        recs.append(bytes(r))
+    flush = b"\x01\x00\x00\x00"
+    chunks = [r + flush for r in recs]
+    enc = PyEncoder()
+    ic = PyIC(2)
+    prev_cnt = prev_sz = 0
+    for ch in chunks:
+        ic.compress(enc, prev_cnt, 1, 0)
+        prev_cnt = 1
+        ic.compress(enc, prev_sz, len(ch), 1)
+        prev_sz = len(ch)
+    table = struct.pack("<II", 0, len(chunks)) + enc.done()
+    vlr = build_laszip_vlr(0, 0xFFFFFFFF)
+    header_size = 227
+    point_offset = header_size + len(vlr)
+    hdr = bytearray(header_size)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 2
+    struct.pack_into("<HIIBH", hdr, 94, header_size, point_offset, 1,
+                     0 | 0x80, 20)
+    struct.pack_into("<I", hdr, 107, len(coords))
+    struct.pack_into("<3d", hdr, 131, scale, scale, scale)
+    struct.pack_into("<3d", hdr, 155, 0.0, 0.0, 0.0)
+    blob = b"".join(chunks)
+    body = struct.pack("<q", point_offset + 8 + len(blob)) + blob + table
+    las2 = read_laz_bytes(bytes(hdr) + vlr + body, "v2-variable")
+    np.testing.assert_allclose(las2.xyz(), coords, atol=1e-9)
 
 
 def test_render_point_colors_stay_aligned_past_display_cap(rng):

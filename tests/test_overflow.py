@@ -24,6 +24,10 @@ def _dense_tile(rng, nx, ny, pts_per_tower=400, n_ground=40_000, spacing=45.0):
         n_ground=n_ground,
         n_veg=2000,
         towers=towers,
+        # width 14: the tapered above-ground footprint stays well clear
+        # of the min_width=8 acceptance edge — this test exercises
+        # CAPACITY overflow, not filter marginality
+        tower_width=14.0,
         pts_per_tower=pts_per_tower,
         extent=float(extent),
     )
@@ -37,7 +41,7 @@ def test_300_structure_tile_fully_extracted(rng, fast):
     saturation resolved."""
     pts, centers = _dense_tile(rng, 20, 15)
     params = ExtractParams(
-        cluster=ClusterParams(eps=5.0, min_points=60, method="grid"),
+        cluster=ClusterParams(eps=8.0, min_points=60, method="grid"),
         max_clusters=128,
     )
     towers, info = extract_from_points_resolving(pts, params, fast=fast)
@@ -48,14 +52,14 @@ def test_300_structure_tile_fully_extracted(rng, fast):
     got = np.array([t.center[:2] for t in towers])
     for c in centers:
         d = np.linalg.norm(got - c[None, :2], axis=1)
-        assert d.min() < 3.0
+        assert d.min() < 5.0
 
 
 def test_no_split_when_not_saturated(rng):
     """An ordinary tile must run exactly once (no wasted recursion)."""
     pts, centers = _dense_tile(rng, 3, 2, n_ground=8000)
     params = ExtractParams(
-        cluster=ClusterParams(eps=5.0, min_points=60, method="grid")
+        cluster=ClusterParams(eps=8.0, min_points=60, method="grid")
     )
     towers, info = extract_from_points_resolving(pts, params, fast=True)
     assert info == dict(
