@@ -80,7 +80,7 @@ def main():
     # the host from the tile extent.  PCH_BENCH_SORT=full reverts.
     import jax as _jax
 
-    sort_mode = os.environ.get("PCH_BENCH_SORT", "hier")
+    sort_mode = os.environ.get("PCH_BENCH_SORT", "full")
 
     @functools.partial(_jax.jit, static_argnames=("sort_mode",))
     def frontend(xyz, mask, sort_mode="full"):

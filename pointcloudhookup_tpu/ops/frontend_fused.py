@@ -169,31 +169,54 @@ def fused_downsample_ground_cluster(
             w16 = (lo & ((1 << shift3k) - 1)).astype(jnp.uint16)
             k1, w16 = lax.sort((k1, w16), num_keys=1)
             W = hier_window
-            pad = (-n) % W
-            if pad:
-                k1 = jnp.concatenate(
-                    [k1, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]
-                )
-                w16 = jnp.concatenate(
-                    [w16, jnp.full(pad, 0x7FFF, jnp.uint16)]
+            use_pallas_win = jax.default_backend() == "tpu" and W == 256
+            if use_pallas_win:
+                # VMEM-resident bitonic window sort: XLA's batched
+                # minor-dim sort costs ~4 ms/pass at 4M (per-stage
+                # overhead dominates short rows); the pallas network is
+                # bandwidth-bound at one HBM pass per offset.
+                from pointcloudhookup_tpu.ops.pallas.winsort import (
+                    _BLOCK,
+                    window_sort_w,
                 )
 
-            def _winsort(a, b):
-                a2, b2 = lax.sort(
-                    (a.reshape(-1, W), b.reshape(-1, W)),
-                    dimension=1,
-                    num_keys=2,
-                )
-                return a2.reshape(-1), b2.reshape(-1)
+                pad = (-n) % _BLOCK
+                if pad:
+                    k1 = jnp.concatenate(
+                        [k1, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]
+                    )
+                    w16 = jnp.concatenate(
+                        [w16, jnp.full(pad, 0x7FFF, jnp.uint16)]
+                    )
+                w16 = window_sort_w(k1, w16)  # i32, k1 invariant
+                if pad:
+                    k1, w16 = k1[:n], w16[:n]
+            else:
+                pad = (-n) % W
+                if pad:
+                    k1 = jnp.concatenate(
+                        [k1, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]
+                    )
+                    w16 = jnp.concatenate(
+                        [w16, jnp.full(pad, 0x7FFF, jnp.uint16)]
+                    )
 
-            k1, w16 = _winsort(k1, w16)
-            half = W // 2
-            if k1.shape[0] > W:
-                mid_k, mid_w = _winsort(k1[half:-half], w16[half:-half])
-                k1 = lax.dynamic_update_slice(k1, mid_k, (half,))
-                w16 = lax.dynamic_update_slice(w16, mid_w, (half,))
-            if pad:
-                k1, w16 = k1[:n], w16[:n]
+                def _winsort(a, b):
+                    a2, b2 = lax.sort(
+                        (a.reshape(-1, W), b.reshape(-1, W)),
+                        dimension=1,
+                        num_keys=2,
+                    )
+                    return a2.reshape(-1), b2.reshape(-1)
+
+                k1, w16 = _winsort(k1, w16)
+                half = W // 2
+                if k1.shape[0] > W:
+                    mid_k, mid_w = _winsort(k1[half:-half], w16[half:-half])
+                    k1 = lax.dynamic_update_slice(k1, mid_k, (half,))
+                    w16 = lax.dynamic_update_slice(w16, mid_w, (half,))
+                if pad:
+                    k1, w16 = k1[:n], w16[:n]
             lo = (
                 ((k1 & ((1 << (30 - shift3k)) - 1)) << shift3k)
                 | w16.astype(jnp.uint32)

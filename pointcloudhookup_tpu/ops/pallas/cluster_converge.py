@@ -38,7 +38,7 @@ def _kernel(
     eps2_ref, minpts_ref, rlo_ref, rhi_ref, blo_ref, bhi_ref,  # SMEM
     x_ref, y_ref, z_ref, w_ref, alive_ref, lab0_ref,  # VMEM in
     lab_out, pop_out,  # VMEM out
-    cur_ref, nxt_ref, core_ref,  # VMEM scratch [m]
+    cur_ref, core_ref,  # VMEM scratch [m]
     *, m: int, max_iter: int,
 ):
     nb = m // _BLOCK
@@ -134,24 +134,26 @@ def _kernel(
 
     def round_body(carry):
         it, _ = carry
+        # Gauss-Seidel with alternating sweep direction: updates land in
+        # cur_ref immediately (min-label flooding is monotone, so
+        # in-place updates are always safe and strictly faster than
+        # Jacobi), and because Morton order is spatially coherent a
+        # whole structure's min label floods through it in ONE sweep
+        # instead of one hop per round.  Alternating the direction
+        # handles chains that run against the sweep.
+        backward = (it & 1) == 1
 
         def one_row(r, changed):
-            lmin = lmin_row(r)
-            off = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
+            r2 = jnp.where(backward, nb - 1 - r, r)
+            lmin = lmin_row(r2)
+            off = pl.ds(pl.multiple_of(r2 * _BLOCK, _BLOCK), _BLOCK)
             old = cur_ref[off]
             is_core = core_ref[off] > 0
             new = jnp.where(is_core, jnp.minimum(old, lmin), old)
-            nxt_ref[off] = new
+            cur_ref[off] = new
             return changed | jnp.any(new != old)
 
         changed = lax.fori_loop(0, nb, one_row, jnp.bool_(False))
-
-        def copy_row(r, _):
-            off = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
-            cur_ref[off] = nxt_ref[off]
-            return _
-
-        lax.fori_loop(0, nb, copy_row, 0)
         return it + 1, changed
 
     lax.while_loop(
@@ -256,7 +258,6 @@ def cluster_cells(
         ],
         scratch_shapes=[
             pltpu.VMEM((m,), jnp.int32),  # cur labels
-            pltpu.VMEM((m,), jnp.int32),  # next labels
             pltpu.VMEM((m,), jnp.int32),  # core flags
         ],
         interpret=interpret,
