@@ -43,10 +43,16 @@ def main():
 
     params = ExtractParams(cluster=ClusterParams())
     xyz_np, mask_np, _ = build_workload(N)
+    cell_plan = None
+    if SORT_MODE == "cell" and os.environ.get("PCH_PLAN", "1") == "1":
+        from pointcloudhookup_tpu.ops.frontend_fused import cell_sort_plan
+
+        span = xyz_np.max(axis=0) - xyz_np.min(axis=0)
+        cell_plan = cell_sort_plan(span, eps=params.cluster.eps)
     xyz = jnp.asarray(xyz_np)
     mask = jnp.asarray(mask_np)
-    print(f"device: {jax.devices()[0]}, N={N}, sort_mode={SORT_MODE}",
-          flush=True)
+    print(f"device: {jax.devices()[0]}, N={N}, sort_mode={SORT_MODE}, "
+          f"plan={cell_plan}", flush=True)
 
     def timeit(name, fn):
         def fence(out):
@@ -77,7 +83,7 @@ def main():
             lambda cut=cut: fused_downsample_ground_cluster(
                 xyz, mask, params, max_cells=8192, min_cell_points=3,
                 geometric_voxels=True, emit="codes", sort_mode=SORT_MODE,
-                _cut=cut,
+                cell_plan=cell_plan, _cut=cut,
             ),
         )
         if prev:

@@ -63,12 +63,80 @@ def hier_sort_eligible(span_xyz, voxel_size: float = 0.1,
     return (code >> (3 * cell_shift)) < 0xFFFFFFFF
 
 
+def cell_sort_plan(span_xyz, eps: float = 8.0, voxel_size: float = 0.1,
+                   cell_shift: int = 5):
+    """Host-side plan for sort_mode='cell' with a TIGHT packed key.
+
+    Standard Morton reserves 20 bit positions per axis, so a corridor
+    tile's cell-level code barely fits u32 even though the z span only
+    needs ~11 bits.  Packing the cell key with interleave_tight frees
+    the dead positions; the reclaimed g bits carry the TOP g bits of
+    the within-cell code, which shrinks equal-key runs by ~2^g and with
+    them the dupwin depth the dedup pass needs (64 -> 16 at g >= 2).
+
+    Returns (bx, by, bz, g, depth) — static per tile-shape class — or
+    None when the tile cannot use the packed key (fall back to
+    'hier'/'full').  Mirrors the in-jit cell_shift adjustment so the
+    plan and the trace agree on the cell size.
+    """
+    import math
+
+    import numpy as _np
+
+    idx = _np.floor(
+        _np.asarray(span_xyz, _np.float64) / float(voxel_size)
+    ).astype(_np.int64)
+    if (idx >= (1 << 20)).any() or (idx < 0).any():
+        return None
+    safe_shift = int(math.floor(math.log2(
+        max(eps / (math.sqrt(3.0) * voxel_size), 1e-6))))
+    cs = max(2, min(cell_shift, safe_shift))
+    bits = [max(int(v).bit_length(), 1) for v in idx]
+    cell_bits = sum(max(b - cs, 0) for b in bits)
+    if cell_bits > 30:
+        return None
+    g = min(32 - cell_bits, 3 * cs)
+    if g < 2:
+        return None
+    depth = 0 if g == 3 * cs else 16
+    return (bits[0], bits[1], bits[2], g, depth)
+
+
+def _dup_window_flags(key, w, depth: int, n: int):
+    """bool[N] first-occurrence flags: row i is first iff no j in
+    [i-depth, i) has equal (key, w).  Pallas kernel on TPU; a rolled
+    compare chain elsewhere (same math, CPU-test friendly)."""
+    if jax.default_backend() == "tpu":
+        from pointcloudhookup_tpu.ops.pallas.dupwin import (
+            _BLOCK as _DBLOCK,
+            first_occurrence_flags,
+        )
+
+        pad = (-n) % _DBLOCK
+        if pad:
+            key = jnp.concatenate(
+                [key, jnp.full(pad, 0xFFFFFFFF, key.dtype)]
+            )
+            w = jnp.concatenate([w, jnp.full(pad, 0x7FFF, w.dtype)])
+        return first_occurrence_flags(key, w, depth=depth)[:n].astype(bool)
+    w32 = w.astype(jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    dup = jnp.zeros(n, bool)
+    for d in range(1, depth + 1):
+        dup = dup | (
+            (jnp.roll(key, d) == key)
+            & (jnp.roll(w32, d) == w32)
+            & (pos >= d)
+        )
+    return jnp.logical_not(dup)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "params", "max_cells", "min_cell_points", "cell_shift",
         "geometric_voxels", "emit", "return_cells_overflow",
-        "sort_mode", "hier_window", "_cut",
+        "sort_mode", "hier_window", "cell_plan", "_cut",
     ),
 )
 def fused_downsample_ground_cluster(
@@ -86,6 +154,7 @@ def fused_downsample_ground_cluster(
     return_cells_overflow: bool = False,
     sort_mode: str = "full",
     hier_window: int = 256,
+    cell_plan=None,
     _cut: int = 0,
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
@@ -110,10 +179,12 @@ def fused_downsample_ground_cluster(
         raise ValueError(f"emit must be 'xyz' or 'codes', got {emit!r}")
     if emit == "codes" and not geometric_voxels:
         raise ValueError("emit='codes' requires geometric_voxels=True")
-    if sort_mode not in ("full", "hier"):
-        raise ValueError(f"sort_mode must be 'full' or 'hier', got {sort_mode!r}")
-    if sort_mode == "hier" and not geometric_voxels:
-        raise ValueError("sort_mode='hier' requires geometric_voxels=True")
+    if sort_mode not in ("full", "hier", "cell"):
+        raise ValueError(
+            f"sort_mode must be 'full', 'hier' or 'cell', got {sort_mode!r}"
+        )
+    if sort_mode in ("hier", "cell") and not geometric_voxels:
+        raise ValueError(f"sort_mode={sort_mode!r} requires geometric_voxels=True")
     n = xyz.shape[0]
     m = max_cells
     gp = params.ground
@@ -144,7 +215,84 @@ def fused_downsample_ground_cluster(
         # non-sentinel row has weight 1, so the per-voxel point count is
         # never needed — voxel validity is just `hi != SENTINEL` at run
         # starts.  Saves one sort payload AND the [N] count scan.
-        if sort_mode == "hier":
+        v_first = None
+        if sort_mode == "cell":
+            # Cheapest of the three: ONE single-key sort (lax.sort cost
+            # on TPU is driven by the NUMBER OF KEYS — 2xu32 keys
+            # ~12.1 ms at 4M vs u32 key + payloads ~9.2-9.4 ms) and NO
+            # order restoration — the only thing within-cell ORDER ever
+            # fed in geometric/emit-codes mode is the adjacent-row voxel
+            # dedup test, and dedup FLAGS don't need order: a windowed
+            # duplicate-suppression pass (ops/pallas/dupwin.py) yields
+            # exact first-occurrence flags for every equal-key run
+            # <= depth+1.  Longer runs may count a duplicate voxel
+            # twice (reported via hier_runs_over); cell grouping stays
+            # exact, and per-cluster min/max/count stats are multiset-
+            # invariant, so accepted towers match 'full' under the
+            # guarantee (centroids to f32 summation order).
+            #
+            # With a cell_plan (cell_sort_plan()), the key is a TIGHT
+            # interleave of the cell coordinates (per-axis bit widths
+            # from the tile span — a flat corridor wastes ~9 z bit
+            # positions in the standard Morton layout) plus the top g
+            # within-cell bits: equal-key runs shrink ~2^g, so the
+            # dedup window depth drops 64 -> 16 (3.2 ms -> 1.4 ms at
+            # 4M), and at g == 3*cell_shift the key IS the full voxel
+            # key and dedup is an exact adjacent compare.  hi/lo ride
+            # as near-free payloads, so every downstream stage sees
+            # standard codes and nothing else changes.
+            if cell_plan is not None:
+                bxp, byp, bzp, gbits, depth = cell_plan
+                cs = cell_shift
+                cbits = (max(bxp - cs, 0), max(byp - cs, 0), max(bzp - cs, 0))
+                from pointcloudhookup_tpu.ops.morton import interleave_tight
+
+                ck = interleave_tight(
+                    v[:, 0] >> cs, v[:, 1] >> cs, v[:, 2] >> cs, cbits
+                )
+                w15 = (lo & ((1 << shift3k) - 1)).astype(jnp.uint32)
+                ksort = (ck << gbits) | (w15 >> (shift3k - gbits))
+                ksort = jnp.where(mask, ksort, jnp.uint32(0xFFFFFFFF))
+                ksort, hi, lo = lax.sort((ksort, hi, lo), num_keys=1)
+                # masked rows carry garbage lo; -1 can never equal a
+                # real row's non-negative low bits, so a masked row can
+                # never mark a real voxel as duplicate
+                w_low = jnp.where(
+                    hi == SENTINEL_HI,
+                    jnp.int32(-1),
+                    lo & ((1 << (shift3k - gbits)) - 1),
+                )
+                if depth == 0:
+                    pos0 = jnp.arange(n, dtype=jnp.int32)
+                    v_first = (
+                        (ksort != jnp.roll(ksort, 1)) | (pos0 == 0)
+                    )
+                else:
+                    v_first = _dup_window_flags(ksort, w_low, depth, n)
+                run_key = ksort
+            else:
+                # untight fallback: u32 cell code key (code >> 3k must
+                # fit u32 — hier_sort_eligible), full within-cell code
+                # as payload, depth-64 window
+                depth = 64
+                k1 = (hi.astype(jnp.uint32) << (30 - shift3k)) | (
+                    lo.astype(jnp.uint32) >> shift3k
+                )
+                k1 = jnp.where(mask, k1, jnp.uint32(0xFFFFFFFF))
+                w16 = (lo & ((1 << shift3k) - 1)).astype(jnp.uint16)
+                k1, w16 = lax.sort((k1, w16), num_keys=1)
+                v_first = _dup_window_flags(k1, w16, depth, n)
+                lo = (
+                    ((k1 & ((1 << (30 - shift3k)) - 1)) << shift3k)
+                    | w16.astype(jnp.uint32)
+                ).astype(jnp.int32)
+                hi = jnp.where(
+                    k1 == jnp.uint32(0xFFFFFFFF),
+                    SENTINEL_HI,
+                    (k1 >> (30 - shift3k)).astype(jnp.int32),
+                )
+                run_key = k1
+        elif sort_mode == "hier":
             # Hierarchical sort: lax.sort cost on TPU is driven by the
             # NUMBER OF KEYS, not operand bytes (2xu32 keys ~12.1 ms at
             # 4M vs u32 key + u16 payload ~9.2 ms — payloads are nearly
@@ -230,6 +378,7 @@ def fused_downsample_ground_cluster(
             hi, lo = lax.sort((hi, lo), num_keys=2)
         sx = sy = sz = None
     else:
+        v_first = None
         w_in = mask.astype(jnp.float32)
         hi, lo, sx, sy, sz, w = lax.sort(
             (hi, lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], w_in), num_keys=2
@@ -241,8 +390,14 @@ def fused_downsample_ground_cluster(
     if _cut == 1:
         return hi, lo
 
-    # ---- voxel runs -> centroids/counts at run-start rows
-    v_start = ((hi != jnp.roll(hi, 1)) | (lo != jnp.roll(lo, 1))).at[0].set(True)
+    # ---- voxel runs -> centroids/counts at run-start rows.  In cell
+    # mode the windowed dedup pass already produced first-occurrence
+    # flags (within-cell rows are unordered, so adjacent-row comparison
+    # would miss non-adjacent duplicates).
+    if v_first is not None:
+        v_start = v_first
+    else:
+        v_start = ((hi != jnp.roll(hi, 1)) | (lo != jnp.roll(lo, 1))).at[0].set(True)
     if geometric_voxels and emit == "codes":
         from pointcloudhookup_tpu.ops.morton import _compact10
 
@@ -334,6 +489,12 @@ def fused_downsample_ground_cluster(
     # ---- pack the dense-cell table.  pidx_row is non-decreasing and
     # increments exactly at dense starts, so packed cell j's start row is
     # simply the first row with value j: m binary searches, no sort.
+    # (A two-level stride-512 search — _first_rows_two_level — was
+    # benchmarked here and LOST: 202 vs 215 Mpts/s end-to-end.  In
+    # isolation flat searchsorted times at ~4.5 ms vs 2.2 for two-level
+    # (benchmarks/profile_mtable.py), but inside this graph XLA
+    # overlaps the flat search's gather rounds with neighbouring
+    # stages, while the fori_loop variant serializes.  Keep flat.)
     rows_m = jnp.clip(
         jnp.searchsorted(pidx_row, jnp.arange(m, dtype=jnp.int32), side="left"),
         0,
@@ -400,17 +561,25 @@ def fused_downsample_ground_cluster(
         # stay unlabeled.  Callers that surface quality flags ask for
         # the dropped-cell count instead of failing silently.
         cells_over = jnp.maximum(n_dense - jnp.int32(m), 0).astype(jnp.float32)
-        if sort_mode == "hier":
-            # hier dedup-exactness guard: cells whose RAW run exceeds
-            # the window guarantee may count duplicate voxels twice
-            # (never drops towers; thresholds/box centers unaffected) —
-            # surfaced so quality monitoring can see it.
-            guarantee = hier_window // 2 + 1
+        if sort_mode == "hier" or (sort_mode == "cell" and depth > 0):
+            # hier/cell dedup-exactness guard: runs whose length exceeds
+            # the guarantee (window length/2 + 1 for hier; dup-window
+            # depth + 1 per equal-SORT-KEY run for cell) may count a
+            # duplicate voxel twice (never drops towers; thresholds/box
+            # centers unaffected) — surfaced for quality monitoring.
+            if sort_mode == "hier":
+                guarantee = hier_window // 2 + 1
+                g_start = c_start
+            else:
+                guarantee = depth + 1
+                g_start = (
+                    (run_key != jnp.roll(run_key, 1)).at[0].set(True)
+                )
             rtot = segmented_scan(
-                jnp.add, jnp.ones(n, jnp.int32), c_start, reverse=True
+                jnp.add, jnp.ones(n, jnp.int32), g_start, reverse=True
             )
             hier_over = jnp.sum(
-                (c_start & (rtot > guarantee)).astype(jnp.int32)
+                (g_start & (rtot > guarantee)).astype(jnp.int32)
             ).astype(jnp.float32)
         else:
             hier_over = jnp.float32(0.0)
@@ -429,6 +598,7 @@ def fused_downsample_ground_cluster(
     static_argnames=(
         "params", "max_cells", "min_cell_points", "geometric_voxels",
         "per_cluster_cap", "points_cap", "obb", "sort_mode", "hier_window",
+        "cell_plan",
     ),
 )
 def fused_extract_step(
@@ -444,6 +614,7 @@ def fused_extract_step(
     obb: str = "auto",
     sort_mode: str = "full",
     hier_window: int = 256,
+    cell_plan=None,
 ):
     """Full fused front-end + OBB + filters (the bench fast path).
 
@@ -470,7 +641,7 @@ def fused_extract_step(
             xyz, mask, params, max_cells=max_cells,
             min_cell_points=min_cell_points, geometric_voxels=True, emit="codes",
             return_cells_overflow=True, sort_mode=sort_mode,
-            hier_window=hier_window,
+            hier_window=hier_window, cell_plan=cell_plan,
         )
         if obb == "accum":
             stats = cluster_obb_stats_accum(

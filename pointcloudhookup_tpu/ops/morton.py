@@ -73,3 +73,35 @@ def shift_code(hi, lo, shift3k: int):
     lo_shifted = (lo >> shift3k) | (low_bits_of_hi << (30 - shift3k))
     hi_shifted = hi >> shift3k
     return hi_shifted, lo_shifted
+
+
+def interleave_tight(ix, iy, iz, bits: tuple):
+    """Tight Morton-style interleave with STATIC per-axis bit widths.
+
+    Standard 20-bit/axis interleaving wastes key range on a flat tile:
+    a corridor with an 11-bit z span still reserves bit positions for
+    z levels 11..19, inflating the cell-level code past 32 bits.  This
+    variant assigns positions round-robin over only the axes that still
+    have bits at each level, so the result occupies exactly
+    sum(bits) bits: injective on [0,2^bx) x [0,2^by) x [0,2^bz) and
+    hierarchy-preserving (equal high levels <=> same coarse cell), which
+    is all the single-key cell sort needs (grouping + spatial locality;
+    the exact lexicographic order between cells is immaterial).
+
+    bits must be a static (bx, by, bz) with sum(bits) <= 32.  Values are
+    masked to their widths (callers guarantee ranges via the tile span).
+    """
+    bx, by, bz = bits
+    if bx + by + bz > 32:
+        raise ValueError(f"sum(bits)={bx + by + bz} exceeds 32")
+    out = None
+    p = 0
+    for lvl in range(max(bits)):
+        for v, b in ((ix, bx), (iy, by), (iz, bz)):
+            if lvl < b:
+                bit = ((v >> lvl) & 1).astype(jnp.uint32) << p
+                out = bit if out is None else out | bit
+                p += 1
+    if out is None:
+        return jnp.zeros_like(ix, dtype=jnp.uint32)
+    return out

@@ -15,9 +15,16 @@ cell pitch makes a tower's cells a near-clique) so convergence usually
 takes 1-3 Jacobi rounds with early exit; the iteration BOUND defaults
 to M, the worst-case chain length, so arbitrarily long thin clusters
 (conductor lines, vegetation strips) still converge correctly instead
-of silently splitting at an arbitrary cap.  Block-pair AABB culling
-(same scheme as neighbor.py) skips the dead-capacity and far-apart
-block pairs.
+of silently splitting at an arbitrary cap.
+
+Block-pair AABB culling is PRECOMPUTED: evaluating the [nb, nb] AABB
+gap tests as per-pair `lax.cond`s inside the kernel cost ~4096 scalar
+branches PER PASS (~1 ms/pass at m=8192 — more than the surviving
+pairwise compute, since the packed table is typically <50% dense and
+Morton-ordered blocks are spatially local).  The host-side wrapper now
+builds per-row NEAR-COLUMN lists with one tiny [nb, nb] XLA sort and
+passes them through SMEM; every pass loops over exactly the near pairs
+and nothing else.
 """
 
 from __future__ import annotations
@@ -35,7 +42,7 @@ _SUB = 256
 
 
 def _kernel(
-    eps2_ref, minpts_ref, rlo_ref, rhi_ref, blo_ref, bhi_ref,  # SMEM
+    eps2_ref, minpts_ref, ncnt_ref, ncol_ref,  # SMEM
     x_ref, y_ref, z_ref, w_ref, alive_ref, lab0_ref,  # VMEM in
     lab_out, pop_out,  # VMEM out
     cur_ref, core_ref,  # VMEM scratch [m]
@@ -49,45 +56,33 @@ def _kernel(
     def row_slice(ref, r):
         return ref[pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)]
 
-    def _near(r, c):
-        rx_lo = rlo_ref[r, 0]
-        ry_lo = rlo_ref[r, 1]
-        rz_lo = rlo_ref[r, 2]
-        rx_hi = rhi_ref[r, 0]
-        ry_hi = rhi_ref[r, 1]
-        rz_hi = rhi_ref[r, 2]
-        gx = jnp.maximum(jnp.maximum(blo_ref[c, 0] - rx_hi, rx_lo - bhi_ref[c, 0]), 0.0)
-        gy = jnp.maximum(jnp.maximum(blo_ref[c, 1] - ry_hi, ry_lo - bhi_ref[c, 1]), 0.0)
-        gz = jnp.maximum(jnp.maximum(blo_ref[c, 2] - rz_hi, rz_lo - bhi_ref[c, 2]), 0.0)
-        return gx * gx + gy * gy + gz * gz <= eps2
-
     # ---- population pass: pop[i] = sum of w over alive eps-neighbors
     def pop_row(r, _):
         rx = row_slice(x_ref, r)
         ry = row_slice(y_ref, r)
         rz = row_slice(z_ref, r)
 
-        def col(c, acc):
-            def compute(acc):
-                off = pl.multiple_of(c * _BLOCK, _BLOCK)
-                cx = x_ref[pl.ds(off, _BLOCK)]
-                cy = y_ref[pl.ds(off, _BLOCK)]
-                cz = z_ref[pl.ds(off, _BLOCK)]
-                cw = w_ref[pl.ds(off, _BLOCK)]
-                ca = alive_ref[pl.ds(off, _BLOCK)]
-                for s in range(_BLOCK // _SUB):
-                    sl = slice(s * _SUB, (s + 1) * _SUB)
-                    dx = rx[:, None] - cx[sl][None, :]
-                    dy = ry[:, None] - cy[sl][None, :]
-                    dz = rz[:, None] - cz[sl][None, :]
-                    d2 = dx * dx + dy * dy + dz * dz
-                    nbm = (d2 <= eps2) & (ca[sl] > 0)[None, :]
-                    acc = acc + jnp.sum(jnp.where(nbm, cw[sl][None, :], 0.0), axis=1)
-                return acc
+        def col(j, acc):
+            c = ncol_ref[r, j]
+            off = pl.ds(pl.multiple_of(c * _BLOCK, _BLOCK), _BLOCK)
+            cx = x_ref[off]
+            cy = y_ref[off]
+            cz = z_ref[off]
+            cw = w_ref[off]
+            ca = alive_ref[off]
+            for s in range(_BLOCK // _SUB):
+                sl = slice(s * _SUB, (s + 1) * _SUB)
+                dx = rx[:, None] - cx[sl][None, :]
+                dy = ry[:, None] - cy[sl][None, :]
+                dz = rz[:, None] - cz[sl][None, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                nbm = (d2 <= eps2) & (ca[sl] > 0)[None, :]
+                acc = acc + jnp.sum(jnp.where(nbm, cw[sl][None, :], 0.0), axis=1)
+            return acc
 
-            return lax.cond(_near(r, c), compute, lambda a: a, acc)
-
-        acc = lax.fori_loop(0, nb, col, jnp.zeros((_BLOCK,), jnp.float32))
+        acc = lax.fori_loop(
+            0, ncnt_ref[r], col, jnp.zeros((_BLOCK,), jnp.float32)
+        )
         off_r = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
         pop_out[off_r] = acc
         ra = row_slice(alive_ref, r)
@@ -107,30 +102,30 @@ def _kernel(
         ry = row_slice(y_ref, r)
         rz = row_slice(z_ref, r)
 
-        def col(c, acc):
-            def compute(acc):
-                off = pl.multiple_of(c * _BLOCK, _BLOCK)
-                cx = x_ref[pl.ds(off, _BLOCK)]
-                cy = y_ref[pl.ds(off, _BLOCK)]
-                cz = z_ref[pl.ds(off, _BLOCK)]
-                cl = cur_ref[pl.ds(off, _BLOCK)]
-                cc = core_ref[pl.ds(off, _BLOCK)]
-                for s in range(_BLOCK // _SUB):
-                    sl = slice(s * _SUB, (s + 1) * _SUB)
-                    dx = rx[:, None] - cx[sl][None, :]
-                    dy = ry[:, None] - cy[sl][None, :]
-                    dz = rz[:, None] - cz[sl][None, :]
-                    d2 = dx * dx + dy * dy + dz * dz
-                    nbm = (d2 <= eps2) & (cc[sl] > 0)[None, :]
-                    acc = jnp.minimum(
-                        acc,
-                        jnp.min(jnp.where(nbm, cl[sl][None, :], big_sent), axis=1),
-                    )
-                return acc
+        def col(j, acc):
+            c = ncol_ref[r, j]
+            off = pl.ds(pl.multiple_of(c * _BLOCK, _BLOCK), _BLOCK)
+            cx = x_ref[off]
+            cy = y_ref[off]
+            cz = z_ref[off]
+            cl = cur_ref[off]
+            cc = core_ref[off]
+            for s in range(_BLOCK // _SUB):
+                sl = slice(s * _SUB, (s + 1) * _SUB)
+                dx = rx[:, None] - cx[sl][None, :]
+                dy = ry[:, None] - cy[sl][None, :]
+                dz = rz[:, None] - cz[sl][None, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                nbm = (d2 <= eps2) & (cc[sl] > 0)[None, :]
+                acc = jnp.minimum(
+                    acc,
+                    jnp.min(jnp.where(nbm, cl[sl][None, :], big_sent), axis=1),
+                )
+            return acc
 
-            return lax.cond(_near(r, c), compute, lambda a: a, acc)
-
-        return lax.fori_loop(0, nb, col, jnp.full((_BLOCK,), big_sent, jnp.int32))
+        return lax.fori_loop(
+            0, ncnt_ref[r], col, jnp.full((_BLOCK,), big_sent, jnp.int32)
+        )
 
     def round_body(carry):
         it, _ = carry
@@ -230,6 +225,26 @@ def cluster_cells(
     rlo, rhi = _aabb(finite)
     blo, bhi = _aabb(alw)
 
+    # per-row near-column lists (see module docstring): row r's finite
+    # AABB vs col c's alive AABB, gap^2 <= eps2.  One [nb, nb] sort
+    # packs each row's near col indices to the front; the kernel loops
+    # over ncnt[r] entries and never evaluates a scalar branch.
+    gap = jnp.maximum(
+        jnp.maximum(blo[None, :, :] - rhi[:, None, :],
+                    rlo[:, None, :] - bhi[None, :, :]),
+        0.0,
+    )
+    # empty-block AABBs produce (big - -big) gaps that overflow f32 to
+    # inf; inf**2 stays inf, and inf > eps2, so they cull as intended —
+    # but clamp anyway so the sum never hits inf - inf NaNs.
+    gap = jnp.minimum(gap, big)
+    near = jnp.sum(gap * gap, axis=-1) <= jnp.float32(eps2)  # [nb, nb]
+    cols = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    key = jnp.where(near, cols, nb + cols)
+    key = jnp.sort(key, axis=1)
+    ncol = jnp.where(key < nb, key, 0).astype(jnp.int32)
+    ncnt = jnp.sum(near.astype(jnp.int32), axis=1)
+
     kernel = functools.partial(_kernel, m=m, max_iter=max_iter)
     labels, pop = pl.pallas_call(
         kernel,
@@ -237,10 +252,8 @@ def cluster_cells(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps2
             pl.BlockSpec(memory_space=pltpu.SMEM),  # minpts
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rlo
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rhi
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # blo
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # bhi
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ncnt
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ncol
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
             pl.BlockSpec(memory_space=pltpu.VMEM),  # y
             pl.BlockSpec(memory_space=pltpu.VMEM),  # z
@@ -264,7 +277,7 @@ def cluster_cells(
     )(
         jnp.asarray([eps2], jnp.float32),
         jnp.asarray([min_points], jnp.float32),
-        rlo, rhi, blo, bhi,
+        ncnt, ncol,
         x, y, z,
         ccount.astype(jnp.float32),
         alw.astype(jnp.int32),
