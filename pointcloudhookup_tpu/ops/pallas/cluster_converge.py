@@ -42,16 +42,29 @@ _SUB = 256
 
 
 def _kernel(
-    eps2_ref, minpts_ref, ncnt_ref, ncol_ref,  # SMEM
+    eps2_ref, minpts_ref, nba_ref, ncnt_ref, ncol_ref,  # SMEM
     x_ref, y_ref, z_ref, w_ref, alive_ref, lab0_ref,  # VMEM in
     lab_out, pop_out,  # VMEM out
     cur_ref, core_ref,  # VMEM scratch [m]
     *, m: int, max_iter: int,
 ):
-    nb = m // _BLOCK
     eps2 = eps2_ref[0]
     minpts = minpts_ref[0]
+    # the packed table puts its n_dense live rows FIRST, so only the
+    # leading nba blocks can hold alive cells; every per-row loop below
+    # is bounded by nba — at a typical <50%-full table the loop
+    # machinery (scalar iteration + per-row writes + convergence
+    # reduction) dominated the surviving pairwise compute when all
+    # m/_BLOCK blocks were walked each pass
+    nba = nba_ref[0]
     big_sent = jnp.int32(m)
+
+    # dead-capacity blocks never enter a loop: initialize their outputs
+    # with whole-array writes, the live prefix overwrites below
+    pop_out[:] = jnp.zeros((m,), jnp.float32)
+    core_ref[:] = jnp.zeros((m,), jnp.int32)
+    cur_ref[:] = jnp.full((m,), big_sent, jnp.int32)
+    lab_out[:] = jnp.full((m,), big_sent, jnp.int32)
 
     def row_slice(ref, r):
         return ref[pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)]
@@ -93,7 +106,7 @@ def _kernel(
         cur_ref[off_r] = jnp.where(core, l0, big_sent)
         return _
 
-    lax.fori_loop(0, nb, pop_row, 0)
+    lax.fori_loop(0, nba, pop_row, 0)
 
     # ---- Jacobi min-label rounds over CORE cells, early exit
     def lmin_row(r):
@@ -139,7 +152,7 @@ def _kernel(
         backward = (it & 1) == 1
 
         def one_row(r, changed):
-            r2 = jnp.where(backward, nb - 1 - r, r)
+            r2 = jnp.where(backward, nba - 1 - r, r)
             lmin = lmin_row(r2)
             off = pl.ds(pl.multiple_of(r2 * _BLOCK, _BLOCK), _BLOCK)
             old = cur_ref[off]
@@ -148,7 +161,7 @@ def _kernel(
             cur_ref[off] = new
             return changed | jnp.any(new != old)
 
-        changed = lax.fori_loop(0, nb, one_row, jnp.bool_(False))
+        changed = lax.fori_loop(0, nba, one_row, jnp.bool_(False))
         return it + 1, changed
 
     lax.while_loop(
@@ -169,7 +182,7 @@ def _kernel(
         )
         return _
 
-    lax.fori_loop(0, nb, border_row, 0)
+    lax.fori_loop(0, nba, border_row, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
@@ -244,6 +257,14 @@ def cluster_cells(
     key = jnp.sort(key, axis=1)
     ncol = jnp.where(key < nb, key, 0).astype(jnp.int32)
     ncnt = jnp.sum(near.astype(jnp.int32), axis=1)
+    # number of leading blocks that can hold live cells: packed tables
+    # put live rows first, but compute it as max-occupied-block + 1 so
+    # callers with holes stay correct; blocks past nba are pure dead
+    # capacity and the kernel initializes them with one vector write
+    blk_any = jnp.any((finite | alw).reshape(nb, _BLOCK), axis=1)
+    nba = jnp.max(
+        jnp.where(blk_any, jnp.arange(1, nb + 1, dtype=jnp.int32), 0)
+    )[None]
 
     kernel = functools.partial(_kernel, m=m, max_iter=max_iter)
     labels, pop = pl.pallas_call(
@@ -252,6 +273,7 @@ def cluster_cells(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps2
             pl.BlockSpec(memory_space=pltpu.SMEM),  # minpts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nba
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ncnt
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ncol
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
@@ -277,7 +299,7 @@ def cluster_cells(
     )(
         jnp.asarray([eps2], jnp.float32),
         jnp.asarray([min_points], jnp.float32),
-        ncnt, ncol,
+        nba, ncnt, ncol,
         x, y, z,
         ccount.astype(jnp.float32),
         alw.astype(jnp.int32),
