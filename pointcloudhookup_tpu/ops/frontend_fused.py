@@ -179,11 +179,12 @@ def fused_downsample_ground_cluster(
         raise ValueError(f"emit must be 'xyz' or 'codes', got {emit!r}")
     if emit == "codes" and not geometric_voxels:
         raise ValueError("emit='codes' requires geometric_voxels=True")
-    if sort_mode not in ("full", "hier", "cell"):
+    if sort_mode not in ("full", "hier", "cell", "merge"):
         raise ValueError(
-            f"sort_mode must be 'full', 'hier' or 'cell', got {sort_mode!r}"
+            f"sort_mode must be 'full', 'hier', 'cell' or 'merge',"
+            f" got {sort_mode!r}"
         )
-    if sort_mode in ("hier", "cell") and not geometric_voxels:
+    if sort_mode in ("hier", "cell", "merge") and not geometric_voxels:
         raise ValueError(f"sort_mode={sort_mode!r} requires geometric_voxels=True")
     n = xyz.shape[0]
     m = max_cells
@@ -374,6 +375,22 @@ def fused_downsample_ground_cluster(
                 SENTINEL_HI,
                 (k1 >> (30 - shift3k)).astype(jnp.int32),
             )
+        elif sort_mode == "merge":
+            # two-level sort: blocked lax.sort + pallas merge-path
+            # rounds — EXACT lax.sort((hi, lo), 2) equivalent
+            # (tests/test_mergesort.py; scripts/check_mergesort_tpu.py
+            # proves equality at 4M on the chip).  Measured SLOWER than
+            # the flat sort on v5e (15.6 vs 10.0 ms at 4M: the bitonic
+            # cleaner is VPU-issue-bound), so not the default.
+            from pointcloudhookup_tpu.ops.pallas.mergesort import (
+                merge_sort_2key,
+                merge_sort_eligible,
+            )
+
+            if jax.default_backend() == "tpu" and merge_sort_eligible(n):
+                hi, lo = merge_sort_2key(hi, lo)
+            else:
+                hi, lo = lax.sort((hi, lo), num_keys=2)
         else:
             hi, lo = lax.sort((hi, lo), num_keys=2)
         sx = sy = sz = None

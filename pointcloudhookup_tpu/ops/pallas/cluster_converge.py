@@ -45,7 +45,7 @@ def _kernel(
     eps2_ref, minpts_ref, nba_ref, ncnt_ref, ncol_ref,  # SMEM
     x_ref, y_ref, z_ref, w_ref, alive_ref, lab0_ref,  # VMEM in
     lab_out, pop_out,  # VMEM out
-    cur_ref, core_ref,  # VMEM scratch [m]
+    cur_ref, core_ref, bord_ref,  # VMEM scratch [m]
     *, m: int, max_iter: int,
 ):
     eps2 = eps2_ref[0]
@@ -64,6 +64,7 @@ def _kernel(
     pop_out[:] = jnp.zeros((m,), jnp.float32)
     core_ref[:] = jnp.zeros((m,), jnp.int32)
     cur_ref[:] = jnp.full((m,), big_sent, jnp.int32)
+    bord_ref[:] = jnp.full((m,), big_sent, jnp.int32)
     lab_out[:] = jnp.full((m,), big_sent, jnp.int32)
 
     def row_slice(ref, r):
@@ -159,6 +160,12 @@ def _kernel(
             is_core = core_ref[off] > 0
             new = jnp.where(is_core, jnp.minimum(old, lmin), old)
             cur_ref[off] = new
+            # border fold: lmin is the min label over CORE neighbors for
+            # EVERY cell of the row, which is exactly border adoption —
+            # the loop's final sweep is the no-change sweep, so its lmin
+            # is computed against converged labels and no separate
+            # border pass (one full pair-walk) is needed
+            bord_ref[off] = lmin
             return changed | jnp.any(new != old)
 
         changed = lax.fori_loop(0, nba, one_row, jnp.bool_(False))
@@ -170,15 +177,14 @@ def _kernel(
         (jnp.int32(0), jnp.bool_(True)),
     )
 
-    # ---- border adoption: non-core alive cells take the min core
-    # neighbor's label; dead capacity rows keep the sentinel
+    # ---- border adoption from the folded sweep values: non-core alive
+    # cells take the min core neighbor's label; dead rows keep sentinel
     def border_row(r, _):
-        lmin = lmin_row(r)
         off = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
         is_core = core_ref[off] > 0
         ra = row_slice(alive_ref, r) > 0
         lab_out[off] = jnp.where(
-            is_core, cur_ref[off], jnp.where(ra, lmin, big_sent)
+            is_core, cur_ref[off], jnp.where(ra, bord_ref[off], big_sent)
         )
         return _
 
@@ -294,6 +300,7 @@ def cluster_cells(
         scratch_shapes=[
             pltpu.VMEM((m,), jnp.int32),  # cur labels
             pltpu.VMEM((m,), jnp.int32),  # core flags
+            pltpu.VMEM((m,), jnp.int32),  # folded border labels
         ],
         interpret=interpret,
     )(
