@@ -82,10 +82,17 @@ def main():
 
     sort_mode = os.environ.get("PCH_BENCH_SORT", "full")
 
+    # max_cells=4096: the 4M bench tile produces 3586 dense cells
+    # (scripts/probe_mtable.py; 24/24 towers, cells_overflow 0), and
+    # halving the table halves the m-table searchsorted stage.  The
+    # production default stays 8192; overflow resolution handles spills
+    # (models/overflow.py).
+    max_cells = int(os.environ.get("PCH_BENCH_CELLS", "4096"))
+
     @functools.partial(_jax.jit, static_argnames=("sort_mode", "cell_plan"))
     def frontend(xyz, mask, sort_mode="full", cell_plan=None):
         hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
-            xyz, mask, params, max_cells=8192, min_cell_points=3,
+            xyz, mask, params, max_cells=max_cells, min_cell_points=3,
             geometric_voxels=True, emit="codes", sort_mode=sort_mode,
             cell_plan=cell_plan,
         )
