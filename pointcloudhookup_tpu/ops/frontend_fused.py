@@ -495,28 +495,37 @@ def fused_downsample_ground_cluster(
     # broadcast scan is required
     dense_start = c_start & (ctot >= jnp.int32(min_cell_points))
 
-    # packed cell index per row (global cumsum = single-segment scan,
-    # which routes through the one-pass pallas kernel on TPU)
-    first_row = jnp.zeros(n, bool).at[0].set(True)
-    pidx_row = segmented_scan(jnp.add, dense_start.astype(jnp.int32), first_row) - 1
+    # ---- pack the dense-cell table: rows_m[j] = row of the j-th dense
+    # start.  On TPU a one-pass SMEM-emission kernel
+    # (ops/pallas/compactidx.py) replaces the global cumsum +
+    # m-way binary search, which cost ~2 ms at 4M/m=4096 in gather
+    # rounds.  (A two-level stride-512 search was also tried and LOST
+    # end-to-end — fori_loop serialization; benchmarks/profile_mtable.)
+    if jax.default_backend() == "tpu" and n % 32768 == 0:
+        from pointcloudhookup_tpu.ops.pallas.compactidx import (
+            compact_indices,
+        )
 
-    if _cut == 3:
-        return pidx_row, ctot
+        if _cut == 3:
+            return dense_start, ctot
+        rows_m = compact_indices(dense_start, m)
+    else:
+        first_row = jnp.zeros(n, bool).at[0].set(True)
+        pidx_row = (
+            segmented_scan(jnp.add, dense_start.astype(jnp.int32), first_row)
+            - 1
+        )
 
-    # ---- pack the dense-cell table.  pidx_row is non-decreasing and
-    # increments exactly at dense starts, so packed cell j's start row is
-    # simply the first row with value j: m binary searches, no sort.
-    # (A two-level stride-512 search — _first_rows_two_level — was
-    # benchmarked here and LOST: 202 vs 215 Mpts/s end-to-end.  In
-    # isolation flat searchsorted times at ~4.5 ms vs 2.2 for two-level
-    # (benchmarks/profile_mtable.py), but inside this graph XLA
-    # overlaps the flat search's gather rounds with neighbouring
-    # stages, while the fori_loop variant serializes.  Keep flat.)
-    rows_m = jnp.clip(
-        jnp.searchsorted(pidx_row, jnp.arange(m, dtype=jnp.int32), side="left"),
-        0,
-        n - 1,
-    ).astype(jnp.int32)
+        if _cut == 3:
+            return pidx_row, ctot
+
+        rows_m = jnp.clip(
+            jnp.searchsorted(
+                pidx_row, jnp.arange(m, dtype=jnp.int32), side="left"
+            ),
+            0,
+            n - 1,
+        ).astype(jnp.int32)
     ccount = ctot[rows_m].astype(jnp.float32)
     from pointcloudhookup_tpu.ops.morton import morton_decode, shift_code
 

@@ -204,15 +204,19 @@ def neighbor_reduce(
 
 
 def neighbor_reduce_reference(xyz, labels, weights, allowed, eps2, sentinel=None):
-    """Pure-XLA oracle for tests."""
+    """Pure-XLA oracle for tests.
+
+    d^2 comes from coordinate DIFFERENCES, matching the kernel: the
+    |x|^2 - 2xy expansion loses ~|x|^2/2^23 absolute accuracy in f32,
+    which at corridor coordinate scales (km) is larger than eps^2 and
+    flips borderline neighbor decisions."""
     m = xyz.shape[0]
     if sentinel is None:
         sentinel = m
-    d2 = (
-        jnp.sum(xyz * xyz, axis=1)[:, None]
-        + jnp.sum(xyz * xyz, axis=1)[None, :]
-        - 2.0 * jnp.dot(xyz, xyz.T, precision=jax.lax.Precision.HIGHEST)
-    )
+    d2 = jnp.zeros((m, m), jnp.float32)
+    for a in range(3):
+        dv = xyz[:, None, a] - xyz[None, :, a]
+        d2 = d2 + dv * dv
     nb = (d2 <= eps2) & allowed[None, :]
     pop = jnp.sum(jnp.where(nb, weights[None, :], 0.0), axis=1)
     lmin = jnp.min(jnp.where(nb, labels[None, :], sentinel), axis=1)
