@@ -89,12 +89,18 @@ def main():
     # (models/overflow.py).
     max_cells = int(os.environ.get("PCH_BENCH_CELLS", "4096"))
 
+    # ground pre-cut + butterfly-concentrator compaction: the dominant
+    # 2-key Morton sort and every downstream [N] pass run at N/4
+    # (~75-80% of corridor points are below the ground cut and only
+    # ever feed the percentile).  PCH_BENCH_PRECUT=0 reverts.
+    precut_div = int(os.environ.get("PCH_BENCH_PRECUT", "4"))
+
     @functools.partial(_jax.jit, static_argnames=("sort_mode", "cell_plan"))
     def frontend(xyz, mask, sort_mode="full", cell_plan=None):
         hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=max_cells, min_cell_points=3,
             geometric_voxels=True, emit="codes", sort_mode=sort_mode,
-            cell_plan=cell_plan,
+            cell_plan=cell_plan, precut_div=precut_div,
         )
         # sort-free OBB: streaming pallas accumulation over the Morton
         # rows replaces the full-N label sort (~45% of the iteration)

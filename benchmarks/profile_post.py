@@ -81,7 +81,9 @@ def main():
         t = timeit(
             f"cut={cut} {STAGES[cut]}",
             lambda cut=cut: fused_downsample_ground_cluster(
-                xyz, mask, params, max_cells=8192, min_cell_points=3,
+                xyz, mask, params,
+                max_cells=int(os.environ.get("PCH_CELLS", "8192")),
+                min_cell_points=3,
                 geometric_voxels=True, emit="codes", sort_mode=SORT_MODE,
                 cell_plan=cell_plan, _cut=cut,
             ),

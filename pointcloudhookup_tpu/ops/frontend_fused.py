@@ -136,7 +136,8 @@ def _dup_window_flags(key, w, depth: int, n: int):
     static_argnames=(
         "params", "max_cells", "min_cell_points", "cell_shift",
         "geometric_voxels", "emit", "return_cells_overflow",
-        "sort_mode", "hier_window", "cell_plan", "_cut",
+        "sort_mode", "hier_window", "cell_plan", "precut_div",
+        "precut_margin", "_cut",
     ),
 )
 def fused_downsample_ground_cluster(
@@ -155,6 +156,8 @@ def fused_downsample_ground_cluster(
     sort_mode: str = "full",
     hier_window: int = 256,
     cell_plan=None,
+    precut_div: int = 0,
+    precut_margin: float = 0.25,
     _cut: int = 0,
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
@@ -211,6 +214,61 @@ def fused_downsample_ground_cluster(
     v = jnp.floor((xyz - mn) / voxel_size).astype(jnp.int32)
     hi, lo = morton_encode(v[:, 0], v[:, 1], v[:, 2])
     hi = jnp.where(mask, hi, SENTINEL_HI)
+
+    # ---- ground pre-cut + stream compaction (fast mode): the 2-key
+    # Morton sort is the dominant stage (10.6 ms at 4M on v5e) yet
+    # ~75-80% of a corridor tile is below the ground cut and only ever
+    # feeds the percentile.  Estimate the base from a strided RAW-z
+    # sample BEFORE the sort (the post-sort fast path samples voxel
+    # rows instead — the delta is bounded by voxel-occupancy skew and
+    # vanishes at <~1 pt/voxel after 0.1 m voxelization), drop
+    # everything below base + offset - margin, and compact the
+    # survivors with the butterfly-concentrator kernel
+    # (ops/pallas/compactrows.py) so the sort and every downstream [N]
+    # pass run at N/precut_div.  The final keep test below re-tests
+    # voxel-center z against the SAME base, so the margin only needs to
+    # cover the raw-z vs voxel-center-z discrepancy (voxel/2).
+    # Cutting at the RETRY offset instead would be exact under retry
+    # too, but ground undulation between the two cuts can blow the
+    # capacity (45% vs 15% of the bench tile): the retry branch only
+    # fires on near-empty tiles (< min_points_after voxels), so it is
+    # flagged for a resolver re-run rather than provisioned for.
+    # Dropped-tail overflow (kept > capacity) folds into cells_overflow
+    # so models/overflow.py re-runs the tile split in four.
+    precut_dropped = None
+    if precut_div and ground_override is None and sort_mode == "full" \
+            and geometric_voxels and emit == "codes":
+        cap = (xyz.shape[0] // precut_div) // 32768 * 32768
+        if cap >= 32768 and xyz.shape[0] % 32768 == 0:
+            stride = max(n >> 14, 16)
+            zs = xyz[::stride, 2]
+            ms = mask[::stride]
+            pre_base = masked_percentile(
+                jnp.where(ms, zs, jnp.inf), ms, gp.percentile
+            )
+            pre_thresh = (
+                pre_base + jnp.float32(gp.offset) - jnp.float32(precut_margin)
+            )
+            keep_pre = mask & (xyz[:, 2] > pre_thresh)
+            if jax.default_backend() == "tpu":
+                from pointcloudhookup_tpu.ops.pallas.compactrows import (
+                    compact_rows,
+                )
+            else:
+                from pointcloudhookup_tpu.ops.pallas.compactrows import (
+                    compact_rows_reference as compact_rows,
+                )
+            hi, lo, pre_count = compact_rows(keep_pre, hi, lo, cap)
+            precut_dropped = jnp.maximum(
+                pre_count - jnp.int32(cap), 0
+            ).astype(jnp.float32)
+            precut_base = pre_base  # retry logic still applies below
+            n = cap
+            mask = None  # consumed: sentinel keys now carry validity
+        else:
+            precut_base = None
+    else:
+        precut_base = None
     if geometric_voxels:
         # keys only: masked-out rows carry the sentinel key, and every
         # non-sentinel row has weight 1, so the per-voxel point count is
@@ -452,6 +510,12 @@ def fused_downsample_ground_cluster(
         base, use_retry = ground_override
         off = jnp.where(use_retry, gp.retry_offset, gp.offset)
         keep = voxel_valid & (zcol > base + off)
+    elif precut_base is not None:
+        # pre-cut mode computed the base from the pre-sort raw-z sample;
+        # reuse it so the pre-cut threshold and the final keep test are
+        # consistent (a voxel whose center passes below can never have
+        # been pre-dropped: margin > voxel/2)
+        base = precut_base
     elif geometric_voxels:
         # strided sample: Morton-sorted rows make this a spatially
         # stratified ~16k sample at any n; quantile error stays ~cm
@@ -473,6 +537,13 @@ def fused_downsample_ground_cluster(
             lambda: voxel_valid & (zcol > base + gp.retry_offset),
             lambda: keep,
         )
+        if precut_base is not None:
+            # retry fired on a pre-cut tile: points in (base+retry,
+            # base+offset-margin) were pre-dropped, so the retry set is
+            # incomplete — flag it so the caller re-runs without precut
+            precut_dropped = precut_dropped + jnp.where(
+                n_keep < gp.min_points_after, jnp.float32(1.0), 0.0
+            )
 
     if _cut == 2:
         return keep, base
@@ -587,6 +658,11 @@ def fused_downsample_ground_cluster(
         # stay unlabeled.  Callers that surface quality flags ask for
         # the dropped-cell count instead of failing silently.
         cells_over = jnp.maximum(n_dense - jnp.int32(m), 0).astype(jnp.float32)
+        if precut_dropped is not None:
+            # pre-cut capacity overflow drops above-cut rows outright —
+            # same remedy as a cell-table spill (split the tile), so it
+            # rides the same flag
+            cells_over = cells_over + precut_dropped
         if sort_mode == "hier" or (sort_mode == "cell" and depth > 0):
             # hier/cell dedup-exactness guard: runs whose length exceeds
             # the guarantee (window length/2 + 1 for hier; dup-window
@@ -624,7 +700,7 @@ def fused_downsample_ground_cluster(
     static_argnames=(
         "params", "max_cells", "min_cell_points", "geometric_voxels",
         "per_cluster_cap", "points_cap", "obb", "sort_mode", "hier_window",
-        "cell_plan",
+        "cell_plan", "precut_div",
     ),
 )
 def fused_extract_step(
@@ -641,6 +717,7 @@ def fused_extract_step(
     sort_mode: str = "full",
     hier_window: int = 256,
     cell_plan=None,
+    precut_div: int = 0,
 ):
     """Full fused front-end + OBB + filters (the bench fast path).
 
@@ -668,6 +745,7 @@ def fused_extract_step(
             min_cell_points=min_cell_points, geometric_voxels=True, emit="codes",
             return_cells_overflow=True, sort_mode=sort_mode,
             hier_window=hier_window, cell_plan=cell_plan,
+            precut_div=precut_div,
         )
         if obb == "accum":
             stats = cluster_obb_stats_accum(

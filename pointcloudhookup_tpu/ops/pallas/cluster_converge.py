@@ -25,6 +25,16 @@ Morton-ordered blocks are spatially local).  The host-side wrapper now
 builds per-row NEAR-COLUMN lists with one tiny [nb, nb] XLA sort and
 passes them through SMEM; every pass loops over exactly the near pairs
 and nothing else.
+
+Label propagation WITHIN a block was Jacobi (the whole row updates
+from one snapshot): a tower's ~125-cell graph has ~5-hop diameter, so
+convergence took ~6 full-table walks on the bench tile.  Each row
+visit now runs an intra-block flood to convergence (a [B, B] min-label
+loop over the row's own distance tile, ~10 us/iteration) so a round's
+cost is one CROSS-block hop plus complete within-block flooding, and
+the outer loop converges in 2-3 walks regardless of within-block chain
+length.  (Finer than 1024-cell blocks would also cull better, but 1D
+VMEM dynamic slices must be (8,128)-tile = 1024-element aligned.)
 """
 
 from __future__ import annotations
@@ -37,7 +47,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 1024
+_BLOCK = 1024  # 1D VMEM dynamic slices must be (8,128)-tile aligned
 _SUB = 256
 
 
@@ -159,6 +169,30 @@ def _kernel(
             old = cur_ref[off]
             is_core = core_ref[off] > 0
             new = jnp.where(is_core, jnp.minimum(old, lmin), old)
+            # intra-block flood to convergence: one cross-block hop per
+            # outer round is enough when the block's OWN chains collapse
+            # completely here (min-label flooding is monotone, so extra
+            # in-place hops are always safe)
+            rx = row_slice(x_ref, r2)
+            ry = row_slice(y_ref, r2)
+            rz = row_slice(z_ref, r2)
+            dx = rx[:, None] - rx[None, :]
+            dy = ry[:, None] - ry[None, :]
+            dz = rz[:, None] - rz[None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            nbm_rr = (d2 <= eps2) & (is_core[None, :])
+
+            def intra_body(c):
+                lab_r, _ = c
+                cand = jnp.min(
+                    jnp.where(nbm_rr, lab_r[None, :], big_sent), axis=1
+                )
+                new2 = jnp.where(is_core, jnp.minimum(lab_r, cand), lab_r)
+                return new2, jnp.any(new2 != lab_r)
+
+            new, _ = lax.while_loop(
+                lambda c: c[1], intra_body, intra_body((new, jnp.bool_(True)))
+            )
             cur_ref[off] = new
             # border fold: lmin is the min label over CORE neighbors for
             # EVERY cell of the row, which is exactly border adoption —
