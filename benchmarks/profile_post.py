@@ -85,7 +85,9 @@ def main():
                 max_cells=int(os.environ.get("PCH_CELLS", "8192")),
                 min_cell_points=3,
                 geometric_voxels=True, emit="codes", sort_mode=SORT_MODE,
-                cell_plan=cell_plan, _cut=cut,
+                cell_plan=cell_plan,
+                precut_div=int(os.environ.get("PCH_PRECUT", "0")),
+                _cut=cut,
             ),
         )
         if prev:

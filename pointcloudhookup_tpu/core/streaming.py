@@ -90,6 +90,11 @@ class TileStreamer:
                 max_memory_percent=max_memory_percent,
                 n_points=biggest or None,
             )
+        # align big tiles to the compaction kernel's 32k block so the
+        # fast step's ground pre-cut (frontend precut_div) can engage;
+        # the padding rows ride as masked points
+        if capacity >= 131072:
+            capacity = -(-capacity // 32768) * 32768
         self.capacity = capacity
 
     def _load(self, source) -> np.ndarray:
@@ -210,7 +215,6 @@ def stream_extract(
     if fast:
         from pointcloudhookup_tpu.ops.frontend_fused import (
             fused_extract_step,
-            hier_sort_eligible,
         )
 
         def step(xyz, mask, meta):
@@ -218,15 +222,16 @@ def stream_extract(
             # of 2 is a bench denoising choice, but at eps < 5.54 the
             # cell graph shrinks its cells (diagonal-under-eps rule) and
             # a sparse mid-tower cell layer must not split a structure.
-            # hier sort (single-key + window sorts) kicks in whenever
-            # the tile's codes fit the u32 cell key; dense-cell dedup
-            # saturation is reported via stats["hier_runs_over"].
-            span = meta.get("span")
-            hier = span is not None and hier_sort_eligible(span)
+            # full sort + ground pre-cut: lax.sort payloads beyond the
+            # first cost as much as keys, so the single-key hier/cell
+            # modes measure SLOWER end-to-end than the 2-key sort; the
+            # pre-cut instead shrinks the sorted row count itself
+            # (precut_div=4, auto-disabled on small/unaligned tiles;
+            # capacity overflow rides stats["cells_overflow"]).
             return fused_extract_step(
                 xyz, mask, params, geometric_voxels=True,
                 min_cell_points=max(params.cluster.min_cell_points, 1),
-                sort_mode="hier" if hier else "full",
+                sort_mode="full", precut_div=4,
             )
     else:
         def step(xyz, mask, meta):

@@ -163,7 +163,14 @@ def _fast_extract(points: np.ndarray, params: ExtractParams):
     from pointcloudhookup_tpu.ops.frontend_fused import fused_extract_step
 
     origin = points.mean(axis=0) if len(points) else np.zeros(3)
+    # align to the compaction kernel's 32k block when big enough for the
+    # ground pre-cut to engage (padding rides as masked rows); the
+    # single-key hier sort measures SLOWER than 2-key full end-to-end
+    # (lax.sort payloads beyond the first cost as much as keys), so the
+    # fast path is full sort + pre-cut
     cap = round_up(max(len(points), 1), 1024)
+    if cap >= 131072:
+        cap = round_up(cap, 32768)
     xyz = np.zeros((cap, 3), np.float32)
     xyz[: len(points)] = (points - origin).astype(np.float32)
     mask = np.zeros(cap, bool)
@@ -171,15 +178,10 @@ def _fast_extract(points: np.ndarray, params: ExtractParams):
     # honor the configured cell-density floor (the fused default of 2 is
     # a bench denoising choice; at 1 a sparse mid-tower cell layer can
     # no longer split a structure vertically into sub-min_width parts)
-    from pointcloudhookup_tpu.ops.frontend_fused import hier_sort_eligible
-
-    span = (points.max(axis=0) - points.min(axis=0)) if len(points) else (
-        np.zeros(3)
-    )
     stats = fused_extract_step(
         jnp.asarray(xyz), jnp.asarray(mask), params, geometric_voxels=True,
         min_cell_points=max(params.cluster.min_cell_points, 1),
-        sort_mode="hier" if hier_sort_eligible(span) else "full",
+        sort_mode="full", precut_div=4,
     )
     stats = {k: np.asarray(v) for k, v in stats.items()}
     return towers_from_stats(stats, origin), stats

@@ -236,10 +236,25 @@ def fused_downsample_ground_cluster(
     # Dropped-tail overflow (kept > capacity) folds into cells_overflow
     # so models/overflow.py re-runs the tile split in four.
     precut_dropped = None
-    if precut_div and ground_override is None and sort_mode == "full" \
-            and geometric_voxels and emit == "codes":
-        cap = (xyz.shape[0] // precut_div) // 32768 * 32768
-        if cap >= 32768 and xyz.shape[0] % 32768 == 0:
+    precut_base = None
+    if precut_div and sort_mode == "full" and geometric_voxels \
+            and emit == "codes" and xyz.shape[0] >= 131072 \
+            and xyz.shape[0] % 32768 == 0:
+        # capacity rounds UP to the kernel's 32k chunk: more slack never
+        # changes results (extra rows are sentinel-padded), and rounding
+        # down would squeeze small tiles' headroom below 1/precut_div
+        cap = -(-(xyz.shape[0] // precut_div) // 32768) * 32768
+        if ground_override is not None:
+            # multi-shard callers already hold the GLOBAL psum'd base
+            # AND the retry decision, so the pre-cut threshold is exact
+            # (no offset-vs-retry ambiguity to provision for)
+            base_o, use_retry_o = ground_override
+            pre_thresh = (
+                base_o
+                + jnp.where(use_retry_o, gp.retry_offset, gp.offset)
+                - jnp.float32(precut_margin)
+            )
+        else:
             stride = max(n >> 14, 16)
             zs = xyz[::stride, 2]
             ms = mask[::stride]
@@ -249,26 +264,22 @@ def fused_downsample_ground_cluster(
             pre_thresh = (
                 pre_base + jnp.float32(gp.offset) - jnp.float32(precut_margin)
             )
-            keep_pre = mask & (xyz[:, 2] > pre_thresh)
-            if jax.default_backend() == "tpu":
-                from pointcloudhookup_tpu.ops.pallas.compactrows import (
-                    compact_rows,
-                )
-            else:
-                from pointcloudhookup_tpu.ops.pallas.compactrows import (
-                    compact_rows_reference as compact_rows,
-                )
-            hi, lo, pre_count = compact_rows(keep_pre, hi, lo, cap)
-            precut_dropped = jnp.maximum(
-                pre_count - jnp.int32(cap), 0
-            ).astype(jnp.float32)
             precut_base = pre_base  # retry logic still applies below
-            n = cap
-            mask = None  # consumed: sentinel keys now carry validity
+        keep_pre = mask & (xyz[:, 2] > pre_thresh)
+        if jax.default_backend() == "tpu":
+            from pointcloudhookup_tpu.ops.pallas.compactrows import (
+                compact_rows,
+            )
         else:
-            precut_base = None
-    else:
-        precut_base = None
+            from pointcloudhookup_tpu.ops.pallas.compactrows import (
+                compact_rows_reference as compact_rows,
+            )
+        hi, lo, pre_count = compact_rows(keep_pre, hi, lo, cap)
+        precut_dropped = jnp.maximum(
+            pre_count - jnp.int32(cap), 0
+        ).astype(jnp.float32)
+        n = cap
+        mask = None  # consumed: sentinel keys now carry validity
     if geometric_voxels:
         # keys only: masked-out rows carry the sentinel key, and every
         # non-sentinel row has weight 1, so the per-voxel point count is
@@ -572,13 +583,36 @@ def fused_downsample_ground_cluster(
     # m-way binary search, which cost ~2 ms at 4M/m=4096 in gather
     # rounds.  (A two-level stride-512 search was also tried and LOST
     # end-to-end — fori_loop serialization; benchmarks/profile_mtable.)
-    if jax.default_backend() == "tpu" and n % 32768 == 0:
+    if jax.default_backend() == "tpu" and n % 32768 == 0 and n <= (2 << 20):
+        if _cut == 3:
+            return dense_start, ctot
+        # butterfly-concentrator compaction of the start-row positions
+        # (ops/pallas/compactrows.py with the row index as the routed
+        # value).  compactidx's scalar SMEM emission costs ~600 cycles
+        # per dense cell (vector->scalar sync per bit: 3 ms at 1M rows
+        # / 3.5k cells); the bulk-DMA route is ~4x cheaper — but its
+        # rank+butterfly stages scale with n (dense starts are spread,
+        # so no block is homogeneous), so above ~2M rows the scalar
+        # emission wins again (bench A/B: 443.7 vs 423.2 at the 1M
+        # post-precut size; 254.6 vs 231.5 at raw 4M).
+        from pointcloudhookup_tpu.ops.pallas.compactrows import (
+            _CHUNK as _CRCHUNK,
+            compact_rows,
+        )
+
+        mcap = max(_CRCHUNK, -(-m // _CRCHUNK) * _CRCHUNK)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        rows_c, _, _cnt = compact_rows(dense_start, pos, pos, mcap)
+        # dead slots carry the 0x7FFFFFFF sentinel; clip to n-1 to match
+        # the searchsorted convention the packed decode relies on
+        rows_m = jnp.minimum(rows_c[:m], jnp.int32(n - 1))
+    elif jax.default_backend() == "tpu" and n % 32768 == 0:
+        if _cut == 3:
+            return dense_start, ctot
         from pointcloudhookup_tpu.ops.pallas.compactidx import (
             compact_indices,
         )
 
-        if _cut == 3:
-            return dense_start, ctot
         rows_m = compact_indices(dense_start, m)
     else:
         first_row = jnp.zeros(n, bool).at[0].set(True)

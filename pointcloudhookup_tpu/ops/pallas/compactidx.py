@@ -67,17 +67,40 @@ def _kernel(flag_ref, out_ref, n_ref, *, m: int, fill: int):
         bigi = jnp.int32(2**30)
         n0 = n_ref[0]
 
-        def body(j, carry):
-            tgt = jnp.min(jnp.where((f > 0) & (rank == j + 1), flat, bigi))
-            k = n0 + j
+        # emission at TILE granularity: the per-bit masked min used to
+        # scan the whole [256,128] block (~200 cycles/bit — 3 ms at
+        # 1M rows / 3.5k bits); restricting each bit's scan to its own
+        # (8,128) tile cuts that ~30x.  Tiles are static slices of the
+        # rank/flag values, so no dynamic sublane addressing is needed.
+        for t in range(_ROWS // 8):
+            r0 = t * 8
+            t_f = f[r0:r0 + 8, :]
+            t_rank = rank[r0:r0 + 8, :]
+            t_flat = flat[r0:r0 + 8, :]
+            if t == 0:
+                prev = jnp.int32(0)
+            else:
+                prev = jnp.sum(rank[r0 - 1:r0, _LANES - 1:])
+            tcnt = jnp.sum(rank[r0 + 7:r0 + 8, _LANES - 1:]) - prev
 
-            @pl.when(k < m)
-            def _emit():
-                out_ref[k] = base + tgt
+            @pl.when(tcnt > 0)
+            def _(t_f=t_f, t_rank=t_rank, t_flat=t_flat, prev=prev,
+                  tcnt=tcnt):
+                def body(j, carry):
+                    jr = prev + j + 1
+                    tgt = jnp.min(
+                        jnp.where((t_f > 0) & (t_rank == jr), t_flat, bigi)
+                    )
+                    k = n0 + jr - 1
 
-            return carry
+                    @pl.when(k < m)
+                    def _emit():
+                        out_ref[k] = base + tgt
 
-        lax.fori_loop(0, cnt, body, 0)
+                    return carry
+
+                lax.fori_loop(0, tcnt, body, 0)
+
         n_ref[0] = n0 + cnt
 
     @pl.when(i == nb - 1)

@@ -189,11 +189,16 @@ def make_sharded_extract(
 
         base, use_retry = _global_ground_base(xyz, mask, params)
         cp = params.cluster
+        # precut_div: each shard pre-cuts against the GLOBAL base (and
+        # the globally-decided retry offset, so the threshold is exact)
+        # and compacts survivors, running its sort and every [N] stage
+        # at N/4; auto-disabled on small/unaligned shards.  Capacity
+        # overflow rides the psum'd cells_overflow flag.
         hi, lo, keep, labels, _, mn, cells_over, _hier = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=fused_cells,
             min_cell_points=cp.min_cell_points, geometric_voxels=True,
             emit="codes", ground_override=(base, use_retry),
-            return_cells_overflow=True,
+            return_cells_overflow=True, precut_div=4,
         )
         stats = cluster_obb_stats_accum(
             hi, lo, labels, keep, mn, max_clusters=params.max_clusters,

@@ -151,3 +151,24 @@ def test_merge_fragments_equal_count_tiebreak():
     assert alive_out.sum() == 1
     assert alive_out[2]  # lowest index wins the tie
     assert float(np.asarray(merged["count"])[2]) == 8194.0
+
+
+@pytest.mark.slow
+def test_sharded_fast_precut_engages(rng):
+    """Shards >= 131072 rows engage the ground pre-cut against the
+    GLOBAL psum'd base (frontend precut_div): towers must still match
+    the small-shard (pre-cut disabled) semantics."""
+    n_dev = 2
+    mesh = tile_mesh(n_dev)
+    step, in_sharding = make_sharded_extract(mesh, _params(), fast=True)
+    xyz, mask, centers = _make_inputs(rng, n_dev, per_shard=131072)
+    xa = jax.device_put(jnp.asarray(xyz), in_sharding)
+    ma = jax.device_put(jnp.asarray(mask), in_sharding)
+    labels, merged = step(xa, ma)
+    accepted = np.asarray(merged["accepted"])
+    got_centers = np.asarray(merged["center"])[accepted]
+    assert accepted.sum() == len(centers)
+    got = np.array(sorted(got_centers[:, 0].tolist()))
+    want = np.array(sorted(centers[:, 0].tolist()))
+    np.testing.assert_allclose(got, want, atol=2.5)
+    assert float(merged["cells_overflow"]) == 0.0
