@@ -332,8 +332,13 @@ def cmd_stream_extract(args):
     capacity = args.capacity or b.capacity
     # device kernels (OBB accumulation, converge) block in 1024-row
     # granules; round any explicit capacity up so --fast never trips a
-    # block-size check deep inside jit tracing
-    capacity = -(-capacity // 1024) * 1024
+    # block-size check deep inside jit tracing.  Big fast tiles align
+    # to the compaction kernel's 32k block so the ground pre-cut can
+    # engage (frontend precut_div).
+    if args.fast and capacity >= 131072:
+        capacity = -(-capacity // 32768) * 32768
+    else:
+        capacity = -(-capacity // 1024) * 1024
     print(f"governor: {b.reason}" + (" (explicit --capacity)" if args.capacity else ""))
     params = ExtractParams(
         cluster=ClusterParams(
@@ -349,7 +354,8 @@ def cmd_stream_extract(args):
         ),
     )
     results = stream_extract(
-        args.las, capacity=capacity, params=params, fast=args.fast
+        args.las, capacity=capacity, params=params, fast=args.fast,
+        precut_div=getattr(args, "precut_div", 4),
     )
     towers = []
     for stats, meta in results:
@@ -502,6 +508,10 @@ def main(argv=None):
                     help="host RAM fraction the streamer may stage into (ref test/008.py:109)")
     sp.add_argument("--fast", action="store_true",
                     help="fused geometric front-end + sort-free OBB per tile (bench fast mode)")
+    sp.add_argument("--precut-div", type=int, default=4, dest="precut_div",
+                    help="fast mode: ground pre-cut capacity divisor "
+                         "(sort runs at capacity/DIV; 0 disables the "
+                         "pre-cut and its raw-z percentile estimate)")
     sp.set_defaults(fn=cmd_stream_extract)
 
     sp = sub.add_parser("run-all", help="full workflow: compress -> extract -> correct -> save")

@@ -194,6 +194,7 @@ def stream_extract(
     fast: bool = False,
     prefetch: int = 1,
     timings: bool = False,
+    precut_div: int = 4,
 ):
     """Run the extraction step over streamed tiles; returns a list of
     per-tile (stats dict numpy, meta).  One-tile prefetch keeps the
@@ -226,12 +227,16 @@ def stream_extract(
             # first cost as much as keys, so the single-key hier/cell
             # modes measure SLOWER end-to-end than the 2-key sort; the
             # pre-cut instead shrinks the sorted row count itself
-            # (precut_div=4, auto-disabled on small/unaligned tiles;
-            # capacity overflow rides stats["cells_overflow"]).
+            # (auto-disabled on small/unaligned tiles; capacity overflow
+            # rides stats["cells_overflow"]).  precut_div=0 reverts to
+            # the full-row fast path: the pre-cut base comes from a RAW
+            # strided z sample, which skews vs the voxel-dedup base by
+            # up to (density skew x terrain relief) on uneven-density
+            # tiles (docs/PARITY.md).
             return fused_extract_step(
                 xyz, mask, params, geometric_voxels=True,
                 min_cell_points=max(params.cluster.min_cell_points, 1),
-                sort_mode="full", precut_div=4,
+                sort_mode="full", precut_div=precut_div,
             )
     else:
         def step(xyz, mask, meta):
