@@ -21,7 +21,11 @@ TARGET_MPTS = 200.0
 # default 4M-point tile; PCH_BENCH_MPTS overrides for quick iteration
 N_POINTS = int(float(os.environ.get("PCH_BENCH_MPTS", "4")) * 1024 * 1024)
 WARMUP = 2
-ITERS = 8
+# the fence (1-element fetch) costs a full tunnel round trip — measured
+# ~28 ms on this link, i.e. 3.5 ms/iter of pure measurement artifact at
+# ITERS=8.  64 queued dispatches amortize it to <0.5 ms/iter while
+# keeping <0.5 s of work in flight.
+ITERS = 64
 
 
 def build_workload(n):

@@ -27,13 +27,16 @@ def main():
         xyz, mask, _ = build_workload(tile_n)
         tiles.append(np.asarray(xyz[mask], np.float64) + np.array([t * 4500.0, 0, 0]))
 
+    import os
+
+    fast = os.environ.get("PCH_FAST", "0") == "1"
     params = ExtractParams(
         cluster=ClusterParams(method="grid", max_cells=8192, min_cell_points=3)
     )
     # warm (compile) on one tile
-    stream_extract(tiles[:1], capacity=tile_n, params=params)
+    stream_extract(tiles[:1], capacity=tile_n, params=params, fast=fast)
     t0 = time.perf_counter()
-    results = stream_extract(tiles, capacity=tile_n, params=params)
+    results = stream_extract(tiles, capacity=tile_n, params=params, fast=fast)
     dt = time.perf_counter() - t0
     total = sum(len(t) for t in tiles)
     towers = sum(int(s["accepted"].sum()) for s, _ in results)
