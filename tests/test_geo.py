@@ -140,3 +140,62 @@ def test_geoid_regional_grid_clips_west_queries():
     gvals = np.tile(np.arange(360, dtype=np.float32), (5, 1))
     gglob = GeoidGrid(lat0=-2.0, lon0=0.0, dlat=1.0, dlon=1.0, values=jnp.asarray(gvals))
     assert abs(float(gglob.interp(0.0, -10.0)) - 350.0) < 1e-4
+
+
+class TestGeoidPatch:
+    def _grid(self):
+        import jax.numpy as jnp
+
+        from pointcloudhookup_tpu.ops.geo import GeoidGrid
+
+        lat = np.linspace(0, 20, 81)
+        lon = np.linspace(100, 130, 121)
+        vals = (
+            25.0
+            + 3.0 * np.sin(lat / 3.0)[:, None] * np.cos(lon / 5.0)[None, :]
+        ).astype(np.float32)
+        return GeoidGrid(lat0=0.0, lon0=100.0, dlat=0.25, dlon=0.25,
+                         values=jnp.asarray(vals))
+
+    def test_patch_matches_grid_inside_window(self):
+        from pointcloudhookup_tpu.ops.geo import grid_window
+
+        grid = self._grid()
+        patch = grid_window(grid, 10.0, 113.5, half_cells=8)
+        rng = np.random.default_rng(0)
+        lat = rng.uniform(10.0 - 1.5, 10.0 + 1.5, 500)
+        lon = rng.uniform(113.5 - 1.5, 113.5 + 1.5, 500)
+        a = np.asarray(grid.interp(lat, lon, np))
+        b = np.asarray(patch.interp(lat, lon, np))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        # device path agrees too
+        import jax.numpy as jnp
+
+        c = np.asarray(patch.interp(jnp.asarray(lat), jnp.asarray(lon)))
+        np.testing.assert_allclose(a, c, atol=1e-4)
+
+    def test_patch_scalar_and_edge_clamp(self):
+        from pointcloudhookup_tpu.ops.geo import grid_window
+
+        grid = self._grid()
+        patch = grid_window(grid, 0.2, 100.2, half_cells=8)  # grid corner
+        v = float(patch.interp(0.1, 100.1, np))
+        ref = float(grid.interp(0.1, 100.1, np))
+        assert abs(v - ref) < 1e-5
+        # far outside the window: clamps to the edge, stays finite
+        far = float(patch.interp(19.9, 129.9, np))
+        assert np.isfinite(far)
+
+    def test_patch_in_elevation_conversion(self):
+        from pointcloudhookup_tpu.ops.geo import (
+            ellipsoid_to_orthometric,
+            grid_window,
+        )
+
+        grid = self._grid()
+        patch = grid_window(grid, 10.0, 113.5)
+        lat = np.array([10.0, 10.1]); lon = np.array([113.4, 113.6])
+        h = np.array([100.0, 120.0])
+        a = np.asarray(ellipsoid_to_orthometric(lat, lon, h, grid, xp=np))
+        b = np.asarray(ellipsoid_to_orthometric(lat, lon, h, patch, xp=np))
+        np.testing.assert_allclose(a, b, atol=1e-5)
