@@ -144,8 +144,12 @@ def main():
         return greedy_match_arrays(gl, go, gh, lat, lon, h, DIST_T, HEIGHT_T)
 
     matched, first = device_match(de, dn, ph)  # compile
+    # fetch ONCE: indexing the device array per pair costs a full
+    # ~28 ms tunnel round trip each (10k pairs = ~5 minutes)
+    matched_np = np.asarray(matched)
+    first_np = np.asarray(first)
     dev_pairs = [
-        (int(i), int(first[i])) for i in np.nonzero(np.asarray(matched))[0]
+        (int(i), int(first_np[i])) for i in np.nonzero(matched_np)[0]
     ]
     if dev_pairs != cpu_pairs:
         a, b = set(dev_pairs), set(cpu_pairs)
@@ -159,7 +163,10 @@ def main():
     out = None
     for _ in range(iters):
         out = device_match(de, dn, ph)
-    jax.block_until_ready(out)
+    # block_until_ready does NOT synchronize through the axon tunnel —
+    # force completion with a 1-element fetch (its ~28 ms round trip
+    # amortizes over the queued iterations)
+    np.asarray(out[0][0:1])
     t_dev = (time.perf_counter() - t0) / iters
 
     ratio = t_cpu / t_dev
