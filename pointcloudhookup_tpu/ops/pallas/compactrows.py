@@ -1,13 +1,13 @@
 """Stream compaction of (hi, lo) Morton rows by a keep mask (TPU kernel).
 
 The extraction front-end's dominant cost is the 2-key Morton sort over
-ALL N rows (10.6 ms at 4M on v5e) even though ~75-80% of rows are
-below the ground pre-cut and never participate in clustering.  XLA has
-no efficient stream compaction on TPU (nonzero+gather 49 ms, cumsum+
-scatter 26 ms at 4M — scripts/profile_compaction.py), so this kernel
-compacts the kept rows into a fixed-capacity [C] buffer in one
-bandwidth-bound pass; the sort then runs at C ~= N/4 (4.5 ms) and every
-downstream [N] pass shrinks by the same factor.
+ALL N rows (~7 ms device time at 4M on v5e) even though ~75-80% of
+rows are below the ground pre-cut and never participate in clustering.
+XLA has no efficient stream compaction on TPU (nonzero+gather 49 ms,
+cumsum+scatter 26 ms at 4M — scripts/profile_compaction.py), so this
+kernel compacts the kept rows into a fixed-capacity [C] buffer in one
+pass; the sort then runs at C ~= N/4 (~2 ms) and every downstream [N]
+pass shrinks by the same factor.
 
 Algorithm, per sequential 32k-row block (as [256, 128] i32):
 
@@ -148,7 +148,8 @@ def _kernel(
     # (kbsum == 0, nothing to do at all) or occasionally pure structure
     # (kbsum == _BLOCK, routing is the identity).  Only mixed blocks pay
     # the rank + butterfly stages — the kernel's entire compute cost
-    # (3.2 ms at 4M when every block is mixed; worst case unchanged).
+    # (3.1 ms at 4M when every block is mixed — the fully-random
+    # worst case; ~1 ms on scan-ordered corridor data).
     kbsum = jnp.sum(kb)
     mixed = (kbsum > 0) & (kbsum < _BLOCK)
 
