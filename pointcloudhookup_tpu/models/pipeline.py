@@ -187,6 +187,22 @@ def extract_from_points(
     mask[: len(points)] = True
     stats = extract_step(jnp.asarray(xyz), jnp.asarray(mask), params)
     stats = {k: np.asarray(v) for k, v in stats.items()}
+    # grid cell-table overflow silently drops dense cells — at corridor
+    # scale (4M raw points) the 65536-cell table can lose whole towers.
+    # Retry with a higher cell-density floor: each step drops more
+    # sparse-vegetation cells (pure noise at min_points=80) while dense
+    # structure cells survive, exactly the knob the fast path runs at 3.
+    floor = params.cluster.min_cell_points
+    while float(stats.get("cells_overflow", 0.0)) > 0.0 and floor < 16:
+        floor = min(floor * 2 if floor > 1 else 2, 16)
+        retry = dataclasses.replace(
+            params,
+            cluster=dataclasses.replace(
+                params.cluster, min_cell_points=floor
+            ),
+        )
+        stats = extract_step(jnp.asarray(xyz), jnp.asarray(mask), retry)
+        stats = {k: np.asarray(v) for k, v in stats.items()}
     towers = towers_from_stats(stats, origin)
     return towers, stats, origin
 

@@ -109,6 +109,7 @@ def extract_step(xyz, mask, params: ExtractParams = ExtractParams()):
     keep, base = ground_filter(xyz, mask, params.ground)
     cp = params.cluster
     n = xyz.shape[0]
+    cells_overflow = jnp.float32(0.0)  # non-grid paths have no cell table
     if cp.per_chunk:
         labels, core = dbscan_chunked(
             xyz, keep, cp.eps, cp.min_points, chunk_size=cp.chunk_size
@@ -130,9 +131,10 @@ def extract_step(xyz, mask, params: ExtractParams = ExtractParams()):
     ):
         from pointcloudhookup_tpu.ops.cluster_grid import grid_dbscan
 
-        labels, core = grid_dbscan(
+        labels, core, cells_overflow = grid_dbscan(
             xyz, keep, cp.eps, cp.min_points,
             max_cells=cp.max_cells, min_cell_points=cp.min_cell_points,
+            return_overflow=True,
         )
     else:
         labels, core = dbscan(xyz, keep, cp.eps, cp.min_points)
@@ -149,6 +151,7 @@ def extract_step(xyz, mask, params: ExtractParams = ExtractParams()):
         ground_keep=keep,
         base_height=base,
         accepted=accepted,
+        cells_overflow=cells_overflow,
         **stats,
     )
 

@@ -36,7 +36,8 @@ _SENTINEL = jnp.int32(2**30)
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "min_points", "max_cells", "tile", "max_iters", "min_cell_points", "use_pallas"
+        "min_points", "max_cells", "tile", "max_iters", "min_cell_points",
+        "use_pallas", "return_overflow",
     ),
 )
 def grid_dbscan(
@@ -50,11 +51,13 @@ def grid_dbscan(
     max_iters: int = 64,
     min_cell_points: int = 1,
     use_pallas: bool | None = None,
+    return_overflow: bool = False,
 ):
     """Cell-graph DBSCAN.
 
     xyz: f32[N,3], mask: bool[N].  Returns (labels i32[N] compact ids /
-    -1 noise, core bool[N]).
+    -1 noise, core bool[N]) — plus, with return_overflow=True, the
+    number of DENSE cells that did not fit the table (f32 scalar).
 
     max_cells bounds the packed cell table used for the O(M^2) graph
     passes.  min_cell_points drops cells with fewer points BEFORE
@@ -62,6 +65,9 @@ def grid_dbscan(
     thousands of 1-2 point cells that can never contribute to a
     min_points=80 cluster but would overflow the table; dense structures
     (towers, buildings) survive.  Points in dropped cells become noise.
+    Cells beyond max_cells are dropped the same way — callers should
+    check the overflow count (pipeline.extract retries with a higher
+    cell-density floor) because dropped DENSE cells can lose structures.
     """
     n = xyz.shape[0]
     m = max_cells
@@ -204,4 +210,10 @@ def grid_dbscan(
     cp = jnp.clip(cell_of_point, 0, m - 1)
     labels = jnp.where(mask & (cell_of_point < m), cell_labels[cp], -1)
     core = mask & (cell_of_point < m) & core_cell[cp]
+    if return_overflow:
+        n_true_dense = jnp.sum((is_start & dense_row).astype(jnp.int32))
+        overflow = jnp.maximum(n_true_dense - jnp.int32(m), 0).astype(
+            jnp.float32
+        )
+        return labels, core, overflow
     return labels, core

@@ -226,12 +226,14 @@ def make_sharded_extract(
         if cp.method == "grid" or (cp.method == "auto" and n_local > cp.auto_grid_threshold):
             from pointcloudhookup_tpu.ops.cluster_grid import grid_dbscan
 
-            labels, _core = grid_dbscan(
+            labels, _core, cells_over = grid_dbscan(
                 xyz, keep, cp.eps, cp.min_points,
                 max_cells=cp.max_cells, min_cell_points=cp.min_cell_points,
+                return_overflow=True,
             )
         else:
             labels, _core = dbscan(xyz, keep, cp.eps, cp.min_points)
+            cells_over = jnp.float32(0.0)
         stats = cluster_obb_stats(
             xyz,
             labels,
@@ -248,6 +250,9 @@ def make_sharded_extract(
         accepted = filter_and_dedup(merged, params.filters)
         merged["accepted"] = accepted
         merged["base_height"] = base
+        # same quality flag as the fast path: dense cells beyond the
+        # per-shard table never pack, so losing them must be visible
+        merged["cells_overflow"] = lax.psum(cells_over, AXIS)
         return labels, merged
 
     stats_specs = dict(
@@ -263,9 +268,8 @@ def make_sharded_extract(
         overflow=P(),
         accepted=P(),
         base_height=P(),
+        cells_overflow=P(),
     )
-    if fast:
-        stats_specs["cells_overflow"] = P()
     shardmapped = jax.shard_map(
         fast_step if fast else step,
         mesh=mesh,

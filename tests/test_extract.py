@@ -94,3 +94,36 @@ def test_random_downsample(rng):
     assert int(np.asarray(keep2).sum()) == 1000
     assert recommend_chunk_size(4) == 500_000
     assert recommend_chunk_size(16) == 2_000_000
+
+
+def test_grid_overflow_retries_density_floor():
+    """A cell table too small for the sparse-vegetation cell count must
+    not silently lose towers: extract_from_points retries with a higher
+    min_cell_points floor until the dense cells fit (the 4M corridor
+    failure mode: 65536 cells, 6/24 towers before the retry)."""
+    import dataclasses
+
+    from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
+    from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
+    from pointcloudhookup_tpu.models.pipeline import extract_from_points
+
+    rng = np.random.default_rng(3)
+    pts, centers = synthetic_corridor(
+        rng,
+        n_ground=40000,
+        n_veg=60000,  # dense scattered vegetation: many 1-2 point cells
+        towers=((-120.0, 0.0), (0.0, 0.0), (120.0, 0.0)),
+        pts_per_tower=2500,
+        extent=160.0,
+        n_line=0,
+    )
+    params = ExtractParams(
+        cluster=ClusterParams(
+            method="grid", max_cells=1024, min_cell_points=1,
+            eps=6.0, min_points=60,
+        ),
+        max_clusters=64,
+    )
+    towers, stats, origin = extract_from_points(np.asarray(pts, np.float64), params)
+    assert float(stats["cells_overflow"]) == 0.0
+    assert len(towers) == len(centers)
