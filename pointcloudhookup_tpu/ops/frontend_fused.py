@@ -583,7 +583,9 @@ def fused_downsample_ground_cluster(
     # m-way binary search, which cost ~2 ms at 4M/m=4096 in gather
     # rounds.  (A two-level stride-512 search was also tried and LOST
     # end-to-end — fori_loop serialization; benchmarks/profile_mtable.)
-    if jax.default_backend() == "tpu" and n % 32768 == 0 and n <= (2 << 20):
+    if jax.default_backend() == "tpu" and n % 32768 == 0 and (
+        n <= (2 << 20) or m >= 8192
+    ):
         if _cut == 3:
             return dense_start, ctot
         # butterfly-concentrator compaction of the start-row positions
@@ -592,9 +594,12 @@ def fused_downsample_ground_cluster(
         # per dense cell (vector->scalar sync per bit: 3 ms at 1M rows
         # / 3.5k cells); the bulk-DMA route is ~4x cheaper — but its
         # rank+butterfly stages scale with n (dense starts are spread,
-        # so no block is homogeneous), so above ~2M rows the scalar
-        # emission wins again (bench A/B: 443.7 vs 423.2 at the 1M
-        # post-precut size; 254.6 vs 231.5 at raw 4M).
+        # so no block is homogeneous), so at raw-4M row counts the
+        # scalar emission wins again (bench A/B: 443.7 vs 423.2 at the
+        # 1M post-precut size; 254.6 vs 231.5 at raw 4M) — UNLESS the
+        # cell table is big: emission cost scales with the dense-cell
+        # count (9 ms at 16M rows / 25k cells vs ~3 ms for the
+        # butterfly), so large-m configs always take this branch.
         from pointcloudhookup_tpu.ops.pallas.compactrows import (
             _CHUNK as _CRCHUNK,
             compact_rows,
