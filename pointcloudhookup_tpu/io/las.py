@@ -112,6 +112,8 @@ def peek_point_count(path) -> int:
         data = f.read(375)
     if data[:4] != _SIGNATURE:
         raise ValueError(f"not a LAS file (bad signature): {path!r}")
+    if len(data) < 111:
+        raise ValueError(f"truncated LAS header ({len(data)} bytes): {path!r}")
     ver = (data[24], data[25])
     count = struct.unpack_from("<I", data, 107)[0]
     if ver >= (1, 4) and len(data) >= 255:
@@ -126,7 +128,17 @@ def read_las(path) -> LasData:
         data = f.read()
     if data[:4] != _SIGNATURE:
         raise ValueError(f"not a LAS file (bad signature): {path!r}")
+    if len(data) < 227:
+        # smallest legal header (LAS 1.2); truncated files would
+        # otherwise leak struct.error from the field unpacks below
+        raise ValueError(
+            f"truncated LAS header ({len(data)} bytes): {path!r}"
+        )
     ver = (data[24], data[25])
+    if ver >= (1, 4) and len(data) < 375:
+        raise ValueError(
+            f"truncated LAS 1.4 header ({len(data)} bytes): {path!r}"
+        )
     header_size, point_offset, num_vlrs = struct.unpack_from("<HII", data, 94)
     fmt_raw = data[104]
     if fmt_raw & 0x80:

@@ -272,8 +272,23 @@ def write_laz(las: LasData, path, chunk_size: int = DEFAULT_CHUNK_SIZE) -> None:
 
 def read_laz_bytes(data: bytes, path_for_err: str = "<bytes>") -> LasData:
     """Parse a raw .laz file image into LasData (decompressing points)."""
+    if len(data) < 227 or data[:4] != b"LASF":
+        raise ValueError(
+            f"LAZ: not a LAS/LAZ image (need a >=227-byte LASF header), "
+            f"got {len(data)} bytes in {path_for_err!r}"
+        )
     ver = (data[24], data[25])
+    if ver >= (1, 4) and len(data) < 375:
+        raise ValueError(
+            f"LAZ: truncated LAS 1.4 header ({len(data)} bytes) in "
+            f"{path_for_err!r}"
+        )
     header_size, point_offset, num_vlrs = struct.unpack_from("<HII", data, 94)
+    if header_size > len(data) or point_offset > len(data) \
+            or point_offset < header_size:
+        raise ValueError(
+            f"LAZ: header/point offsets out of bounds in {path_for_err!r}"
+        )
     fmt_raw = data[104]
     fmt = fmt_raw & 0x3F
     if fmt not in _FMT_ITEMS:

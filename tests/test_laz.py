@@ -246,3 +246,54 @@ def test_render_point_colors_stay_aligned_past_display_cap(rng):
     )
     lit = img.reshape(-1, 3)[img.reshape(-1, 3).sum(axis=1) > 0]
     assert len(lit) > 0 and (lit[:, 0] == 255).all()  # only red pixels
+
+
+def test_laz_mutation_fuzz_raises_cleanly(tmp_path):
+    """600 mutated/truncated .laz byte images across the v2 chunked and
+    v3 layered containers: every rejection must be a ValueError (or the
+    native codec's count-mismatch ValueError), never an IndexError /
+    struct.error / segfault; byte images that still parse must return a
+    LasData.  Mirrors the 7z fuzz (tests/test_sevenzip_bcj2.py)."""
+    from pointcloudhookup_tpu.io.las import LasData
+    from pointcloudhookup_tpu.io.laz import read_laz_bytes, write_laz
+
+    rng = np.random.default_rng(17)
+    images = []
+    for fmt in (1, 6):
+        las = _make(fmt, 4000, np.random.default_rng(fmt))
+        p = tmp_path / f"f{fmt}.laz"
+        write_laz(las, p)
+        images.append(p.read_bytes())
+
+    cases = 0
+    accepted = 0
+    while cases < 600:
+        base = bytearray(images[cases % len(images)])
+        mode = cases % 5
+        if mode == 0:
+            pos = int(rng.integers(0, len(base)))
+            base[pos] ^= int(rng.integers(1, 256))
+        elif mode == 1:
+            base = base[: int(rng.integers(0, len(base)))]
+        elif mode == 2:
+            pos = int(rng.integers(0, max(len(base) - 16, 1)))
+            base[pos:pos + 16] = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+        elif mode == 3:
+            base = base + rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+        else:  # mangle the header/VLR region specifically
+            pos = int(rng.integers(0, min(500, len(base))))
+            base[pos] ^= int(rng.integers(1, 256))
+        cases += 1
+        try:
+            out = read_laz_bytes(bytes(base))
+        except ValueError:
+            continue
+        except Exception as e:  # noqa: BLE001 — the assertion IS the test
+            raise AssertionError(
+                f"case {cases} mode {mode}: leaked {type(e).__name__}: {e}"
+            )
+        assert isinstance(out, LasData)
+        accepted += 1
+    # most single-byte payload flips decode (arithmetic streams absorb
+    # them into wrong coordinates); the point is NO exception leaks
+    assert cases == 600
