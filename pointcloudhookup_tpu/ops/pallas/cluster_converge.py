@@ -52,11 +52,11 @@ _SUB = 256
 
 
 def _kernel(
-    eps2_ref, minpts_ref, nba_ref, ncnt_ref, ncol_ref,  # SMEM
+    eps2_ref, minpts_ref, nba_ref, ncnt_ref, ncol_ref, subm_ref,  # SMEM
     x_ref, y_ref, z_ref, w_ref, alive_ref, lab0_ref,  # VMEM in
     lab_out, pop_out,  # VMEM out
-    cur_ref, core_ref, bord_ref,  # VMEM scratch [m]
-    *, m: int, max_iter: int,
+    cur_ref, core_ref, bord_ref, accf_ref, acci_ref,  # VMEM scratch
+    *, m: int, max_iter: int, sub_cull: bool,
 ):
     eps2 = eps2_ref[0]
     minpts = minpts_ref[0]
@@ -80,33 +80,50 @@ def _kernel(
     def row_slice(ref, r):
         return ref[pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)]
 
-    # ---- population pass: pop[i] = sum of w over alive eps-neighbors
+    # ---- population pass: pop[i] = sum of w over alive eps-neighbors.
+    # Column subtiles are culled per 256-cell chunk via SMEM masks (the
+    # packed table's 1024-cell blocks span ~1 km at corridor density —
+    # dense cells are ~3% of Morton space — so block-level AABBs barely
+    # cull; the 4-bit sub-masks skip ~half the [1024, 256] subtiles).
+    # Accumulators live in VMEM scratch because pl.when bodies can only
+    # mutate refs, not carry values.
     def pop_row(r, _):
         rx = row_slice(x_ref, r)
         ry = row_slice(y_ref, r)
         rz = row_slice(z_ref, r)
+        accf_ref[:] = jnp.zeros((_BLOCK,), jnp.float32)
 
-        def col(j, acc):
+        def col(j, carry):
             c = ncol_ref[r, j]
+            bits = subm_ref[r, c]
             off = pl.ds(pl.multiple_of(c * _BLOCK, _BLOCK), _BLOCK)
             cx = x_ref[off]
             cy = y_ref[off]
             cz = z_ref[off]
             cw = w_ref[off]
             ca = alive_ref[off]
-            for s in range(_BLOCK // _SUB):
+            def subtile(s):
                 sl = slice(s * _SUB, (s + 1) * _SUB)
                 dx = rx[:, None] - cx[sl][None, :]
                 dy = ry[:, None] - cy[sl][None, :]
                 dz = rz[:, None] - cz[sl][None, :]
                 d2 = dx * dx + dy * dy + dz * dz
                 nbm = (d2 <= eps2) & (ca[sl] > 0)[None, :]
-                acc = acc + jnp.sum(jnp.where(nbm, cw[sl][None, :], 0.0), axis=1)
-            return acc
+                accf_ref[:] = accf_ref[:] + jnp.sum(
+                    jnp.where(nbm, cw[sl][None, :], 0.0), axis=1
+                )
 
-        acc = lax.fori_loop(
-            0, ncnt_ref[r], col, jnp.zeros((_BLOCK,), jnp.float32)
-        )
+            for s in range(_BLOCK // _SUB):
+                if sub_cull:
+                    pl.when(((bits >> s) & 1) == 1)(
+                        functools.partial(subtile, s)
+                    )
+                else:
+                    subtile(s)
+            return carry
+
+        lax.fori_loop(0, ncnt_ref[r], col, 0)
+        acc = accf_ref[:]
         off_r = pl.ds(pl.multiple_of(r * _BLOCK, _BLOCK), _BLOCK)
         pop_out[off_r] = acc
         ra = row_slice(alive_ref, r)
@@ -125,31 +142,42 @@ def _kernel(
         rx = row_slice(x_ref, r)
         ry = row_slice(y_ref, r)
         rz = row_slice(z_ref, r)
+        acci_ref[:] = jnp.full((_BLOCK,), big_sent, jnp.int32)
 
-        def col(j, acc):
+        def col(j, carry):
             c = ncol_ref[r, j]
+            bits = subm_ref[r, c]
             off = pl.ds(pl.multiple_of(c * _BLOCK, _BLOCK), _BLOCK)
             cx = x_ref[off]
             cy = y_ref[off]
             cz = z_ref[off]
             cl = cur_ref[off]
             cc = core_ref[off]
-            for s in range(_BLOCK // _SUB):
+            def subtile(s):
                 sl = slice(s * _SUB, (s + 1) * _SUB)
                 dx = rx[:, None] - cx[sl][None, :]
                 dy = ry[:, None] - cy[sl][None, :]
                 dz = rz[:, None] - cz[sl][None, :]
                 d2 = dx * dx + dy * dy + dz * dz
                 nbm = (d2 <= eps2) & (cc[sl] > 0)[None, :]
-                acc = jnp.minimum(
-                    acc,
-                    jnp.min(jnp.where(nbm, cl[sl][None, :], big_sent), axis=1),
+                acci_ref[:] = jnp.minimum(
+                    acci_ref[:],
+                    jnp.min(
+                        jnp.where(nbm, cl[sl][None, :], big_sent), axis=1
+                    ),
                 )
-            return acc
 
-        return lax.fori_loop(
-            0, ncnt_ref[r], col, jnp.full((_BLOCK,), big_sent, jnp.int32)
-        )
+            for s in range(_BLOCK // _SUB):
+                if sub_cull:
+                    pl.when(((bits >> s) & 1) == 1)(
+                        functools.partial(subtile, s)
+                    )
+                else:
+                    subtile(s)
+            return carry
+
+        lax.fori_loop(0, ncnt_ref[r], col, 0)
+        return acci_ref[:]
 
     def round_body(carry):
         it, _ = carry
@@ -258,40 +286,57 @@ def cluster_cells(
     alw = alive.astype(bool)
     nb = m // _BLOCK
 
-    def _bounds(v, sel):
-        vb = v.reshape(nb, _BLOCK)
-        sb = sel.reshape(nb, _BLOCK)
+    def _bounds_g(v, sel, groups):
+        vb = v.reshape(groups, -1)
+        sb = sel.reshape(groups, -1)
         return (
             jnp.min(jnp.where(sb, vb, big), axis=1),
             jnp.max(jnp.where(sb, vb, -big), axis=1),
         )
 
-    def _aabb(sel):
-        xlo, xhi = _bounds(x, sel)
-        ylo, yhi = _bounds(y, sel)
-        zlo, zhi = _bounds(z, sel)
+    def _aabb_g(sel, groups, _unused=None):
+        xlo, xhi = _bounds_g(x, sel, groups)
+        ylo, yhi = _bounds_g(y, sel, groups)
+        zlo, zhi = _bounds_g(z, sel, groups)
         return (
             jnp.stack([xlo, ylo, zlo], axis=1),
             jnp.stack([xhi, yhi, zhi], axis=1),
         )
 
-    rlo, rhi = _aabb(finite)
-    blo, bhi = _aabb(alw)
+    rlo, rhi = _aabb_g(finite, nb)
 
     # per-row near-column lists (see module docstring): row r's finite
-    # AABB vs col c's alive AABB, gap^2 <= eps2.  One [nb, nb] sort
-    # packs each row's near col indices to the front; the kernel loops
-    # over ncnt[r] entries and never evaluates a scalar branch.
-    gap = jnp.maximum(
-        jnp.maximum(blo[None, :, :] - rhi[:, None, :],
-                    rlo[:, None, :] - bhi[None, :, :]),
+    # AABB vs col c's alive AABB at 256-cell SUBTILE granularity on the
+    # column side — the packed table's 1024-cell blocks span ~1 km at
+    # corridor density, so block-level AABBs barely cull, but their
+    # 256-cell quarters do.  submask[r, c] packs the 4 per-subtile
+    # near bits; a block pair is near iff any bit survives.  One
+    # [nb, nb] sort packs each row's near col indices to the front; the
+    # kernel loops over ncnt[r] entries and skips dead subtiles with
+    # pl.when on the bits.
+    nsub = _BLOCK // _SUB
+    sblo, sbhi = _aabb_g(alw, nb * nsub)
+
+    gap_s = jnp.maximum(
+        jnp.maximum(
+            sblo.reshape(nb, nsub, 3)[None, :, :, :]
+            - rhi[:, None, None, :],
+            rlo[:, None, None, :]
+            - sbhi.reshape(nb, nsub, 3)[None, :, :, :],
+        ),
         0.0,
     )
-    # empty-block AABBs produce (big - -big) gaps that overflow f32 to
+    # empty AABBs produce (big - -big) gaps that overflow f32 to
     # inf; inf**2 stays inf, and inf > eps2, so they cull as intended —
     # but clamp anyway so the sum never hits inf - inf NaNs.
-    gap = jnp.minimum(gap, big)
-    near = jnp.sum(gap * gap, axis=-1) <= jnp.float32(eps2)  # [nb, nb]
+    gap_s = jnp.minimum(gap_s, big)
+    near_sub = jnp.sum(gap_s * gap_s, axis=-1) <= jnp.float32(eps2)
+    submask = jnp.sum(
+        near_sub.astype(jnp.int32)
+        << jnp.arange(nsub, dtype=jnp.int32)[None, None, :],
+        axis=-1,
+    )  # [nb, nb] bit s set iff row r near col c's subtile s
+    near = submask != 0
     cols = jnp.arange(nb, dtype=jnp.int32)[None, :]
     key = jnp.where(near, cols, nb + cols)
     key = jnp.sort(key, axis=1)
@@ -306,7 +351,14 @@ def cluster_cells(
         jnp.where(blk_any, jnp.arange(1, nb + 1, dtype=jnp.int32), 0)
     )[None]
 
-    kernel = functools.partial(_kernel, m=m, max_iter=max_iter)
+    # subtile culling wins only when the table is big enough that block
+    # AABBs barely cull (each predicated region is a Mosaic scheduling
+    # barrier: at m=4096 / 16 near pairs it COSTS ~2% end-to-end, at
+    # m=32768 it saves ~5%)
+    sub_cull = m >= 16384
+    kernel = functools.partial(
+        _kernel, m=m, max_iter=max_iter, sub_cull=sub_cull
+    )
     labels, pop = pl.pallas_call(
         kernel,
         grid=(1,),
@@ -316,6 +368,7 @@ def cluster_cells(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # nba
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ncnt
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ncol
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # submask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
             pl.BlockSpec(memory_space=pltpu.VMEM),  # y
             pl.BlockSpec(memory_space=pltpu.VMEM),  # z
@@ -335,12 +388,14 @@ def cluster_cells(
             pltpu.VMEM((m,), jnp.int32),  # cur labels
             pltpu.VMEM((m,), jnp.int32),  # core flags
             pltpu.VMEM((m,), jnp.int32),  # folded border labels
+            pltpu.VMEM((_BLOCK,), jnp.float32),  # pop accumulator
+            pltpu.VMEM((_BLOCK,), jnp.int32),    # lmin accumulator
         ],
         interpret=interpret,
     )(
         jnp.asarray([eps2], jnp.float32),
         jnp.asarray([min_points], jnp.float32),
-        nba, ncnt, ncol,
+        nba, ncnt, ncol, submask.astype(jnp.int32),
         x, y, z,
         ccount.astype(jnp.float32),
         alw.astype(jnp.int32),
