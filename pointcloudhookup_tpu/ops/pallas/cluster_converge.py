@@ -294,7 +294,7 @@ def cluster_cells(
             jnp.max(jnp.where(sb, vb, -big), axis=1),
         )
 
-    def _aabb_g(sel, groups, _unused=None):
+    def _aabb_g(sel, groups):
         xlo, xhi = _bounds_g(x, sel, groups)
         ylo, yhi = _bounds_g(y, sel, groups)
         zlo, zhi = _bounds_g(z, sel, groups)
