@@ -34,7 +34,9 @@ loop over the row's own distance tile, ~10 us/iteration) so a round's
 cost is one CROSS-block hop plus complete within-block flooding, and
 the outer loop converges in 2-3 walks regardless of within-block chain
 length.  (Finer than 1024-cell blocks would also cull better, but 1D
-VMEM dynamic slices must be (8,128)-tile = 1024-element aligned.)
+VMEM dynamic slices must be (8,128)-tile = 1024-element aligned; big
+tables instead cull 256-cell COLUMN subtiles via per-pair bit masks —
+see the sub_cull note at the kernel build site.)
 """
 
 from __future__ import annotations
