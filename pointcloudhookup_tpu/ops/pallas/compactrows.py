@@ -1,13 +1,19 @@
-"""Stream compaction of (hi, lo) Morton rows by a keep mask (TPU kernel).
+"""Stream compaction of payload rows by a keep mask (TPU kernel).
 
-The extraction front-end's dominant cost is the 2-key Morton sort over
-ALL N rows (~7 ms device time at 4M on v5e) even though ~75-80% of
-rows are below the ground pre-cut and never participate in clustering.
-XLA has no efficient stream compaction on TPU (nonzero+gather 49 ms,
+The extraction front-end's dominant cost is the Morton sort over ALL N
+rows (~7 ms device time at 4M on v5e) even though ~75-80% of rows are
+below the ground pre-cut and never participate in clustering.  XLA has
+no efficient stream compaction on TPU (nonzero+gather 49 ms,
 cumsum+scatter 26 ms at 4M — scripts/profile_compaction.py), so this
 kernel compacts the kept rows into a fixed-capacity [C] buffer in one
 pass; the sort then runs at C ~= N/4 (~2 ms) and every downstream [N]
 pass shrinks by the same factor.
+
+The kernel is generic over the CHANNEL COUNT: the fast path routes the
+two Morton code words (hi, lo); the exact-semantics path routes the raw
+(x, y, z) coordinates bitcast to i32 (compact_rows_multi).  All
+channels share one routing computation — extra channels only add the
+per-stage partner fetch and their own staging DMA.
 
 Algorithm, per sequential 32k-row block (as [256, 128] i32):
 
@@ -25,10 +31,11 @@ Algorithm, per sequential 32k-row block (as [256, 128] i32):
    DMA'd to the HBM output in double-buffered 32-tile chunks.
 
 The kept rows appear in input order (the network is order-preserving),
-though callers only need SOME order — the Morton sort follows.
-Capacity overflow (count > C) drops the tail and is reported via the
-returned count; rows past the count hold garbage and the caller masks
-them with the Morton sentinel.
+though callers only need SOME order — a sort follows.  Capacity
+overflow (count > C) drops the tail and is reported via the returned
+count; rows past the count hold garbage and the caller masks them
+(compact_rows masks with the Morton sentinel, compact_rows_multi with
+zeros).
 
 No reference-code analogue: the reference's pipeline (sklearn DBSCAN
 over chunks, /root/reference/utils/tower_extraction.py:96-122) never
@@ -121,14 +128,24 @@ def _flat_rotate_tile(v, p):
 
 
 def _kernel(
-    kb_ref, hi_ref, lo_ref,               # VMEM in [256,128]
-    outh_ref, outl_ref, cnt_ref,          # ANY/ANY/SMEM out
-    ch_ref, cl_ref, sh_ref, sl_ref,       # VMEM scratch: carry + 2x staging
-    rh_ref, rl_ref, rp_ref,               # VMEM scratch: routed block
-    st_ref,                               # SMEM state [8]
-    semh, seml,                           # DMA semaphore pairs (one per buffer)
-    *, sentinel_hi: int, sentinel_lo: int, max_chunks: int,
+    kb_ref, *rest, nchan: int, max_chunks: int,
 ):
+    """rest layout (inputs were flattened by pallas_call):
+    chan_refs[nchan] (VMEM in [256,128]),
+    out_refs[nchan] (ANY), cnt_ref (SMEM),
+    carry[nchan], staging[nchan] ([2, _CH_ROWS, _LANES]),
+    routed[nchan], rp_ref, st_ref (SMEM [8]), sems[nchan]."""
+    chan = rest[:nchan]
+    outs = rest[nchan:2 * nchan]
+    cnt_ref = rest[2 * nchan]
+    base = 2 * nchan + 1
+    carry = rest[base:base + nchan]
+    stag = rest[base + nchan:base + 2 * nchan]
+    routed = rest[base + 2 * nchan:base + 3 * nchan]
+    rp_ref = rest[base + 3 * nchan]
+    st_ref = rest[base + 3 * nchan + 1]
+    sems = rest[base + 3 * nchan + 2:base + 3 * nchan + 2 + nchan]
+
     i = pl.program_id(0)
     nb = pl.num_programs(0)
 
@@ -155,15 +172,14 @@ def _kernel(
 
     @pl.when(mixed)
     def _():
-        hi = hi_ref[:]
-        lo = lo_ref[:]
+        vals = [c[:] for c in chan]
         # ---- phase 1: within-tile flat ranks
         rank, rowpref = _tile_ranks(kb)
         dest = jnp.where(kb > 0, rank - 1, jnp.int32(-1))
 
         # ---- phase 2: butterfly concentration (pack kept to tile
         # fronts).  The partner's move intent is recomputed from its
-        # routed dest instead of routing a 4th array.
+        # routed dest instead of routing an extra array.
         for b in range(10):
             if b < 7:
                 posbit = (_lane_iota() >> b) & 1
@@ -171,22 +187,20 @@ def _kernel(
                 posbit = ((_row_iota() & (_TROWS - 1)) >> (b - 7)) & 1
             want = (dest >> b) & 1
             move = (dest >= 0) & (want != posbit)
-            hi_p, _ = _fetch_partner(hi, b)
-            lo_p, _ = _fetch_partner(lo, b)
+            partners = [_fetch_partner(v, b)[0] for v in vals]
             d_p, _ = _fetch_partner(dest, b)
             move_p = (d_p >= 0) & (((d_p >> b) & 1) == posbit)
             swap = move | move_p
-            hi = jnp.where(swap, hi_p, hi)
-            lo = jnp.where(swap, lo_p, lo)
+            vals = [jnp.where(swap, p, v) for v, p in zip(vals, partners)]
             dest = jnp.where(swap, d_p, dest)
-        rh_ref[:] = hi
-        rl_ref[:] = lo
+        for r, v in zip(routed, vals):
+            r[:] = v
         rp_ref[:] = rowpref
 
     @pl.when(kbsum == _BLOCK)
     def _():
-        rh_ref[:] = hi_ref[:]
-        rl_ref[:] = lo_ref[:]
+        for r, c in zip(routed, chan):
+            r[:] = c[:]
 
     # ---- phase 3: carry merge + staged emission, tile by tile
     fpos = (
@@ -196,12 +210,10 @@ def _kernel(
 
     def _wait_buf(b):
         # descriptor shapes only size the wait; offsets are irrelevant
-        pltpu.make_async_copy(
-            sh_ref.at[b], outh_ref.at[pl.ds(0, _CH_ROWS)], semh.at[b]
-        ).wait()
-        pltpu.make_async_copy(
-            sl_ref.at[b], outl_ref.at[pl.ds(0, _CH_ROWS)], seml.at[b]
-        ).wait()
+        for s, o, sem in zip(stag, outs, sems):
+            pltpu.make_async_copy(
+                s.at[b], o.at[pl.ds(0, _CH_ROWS)], sem.at[b]
+            ).wait()
         st_ref[5 + b] = 0
 
     def flush_chunk():
@@ -215,14 +227,11 @@ def _kernel(
         @pl.when(chunk < max_chunks)
         def _():
             doff = chunk * _CH_ROWS
-            pltpu.make_async_copy(
-                sh_ref.at[buf], outh_ref.at[pl.ds(doff, _CH_ROWS)],
-                semh.at[buf],
-            ).start()
-            pltpu.make_async_copy(
-                sl_ref.at[buf], outl_ref.at[pl.ds(doff, _CH_ROWS)],
-                seml.at[buf],
-            ).start()
+            for s, o, sem in zip(stag, outs, sems):
+                pltpu.make_async_copy(
+                    s.at[buf], o.at[pl.ds(doff, _CH_ROWS)],
+                    sem.at[buf],
+                ).start()
             st_ref[5 + buf] = 1
 
         st_ref[2] = chunk + 1
@@ -238,8 +247,7 @@ def _kernel(
         all_kept = kbsum == _BLOCK
         for t in range(_NTILES):
             r0 = t * _TROWS
-            th = rh_ref[r0:r0 + _TROWS, :]
-            tl = rl_ref[r0:r0 + _TROWS, :]
+            tiles = [r[r0:r0 + _TROWS, :] for r in routed]
             cnt = jnp.where(
                 all_kept,
                 jnp.int32(_TILE),
@@ -248,11 +256,12 @@ def _kernel(
                 ),
             )
             p = st_ref[0]
-            th = _flat_rotate_tile(th, p)
-            tl = _flat_rotate_tile(tl, p)
+            tiles = [_flat_rotate_tile(tv, p) for tv in tiles]
             end = p + cnt
-            merged_h = jnp.where(fpos >= p, th, ch_ref[:])
-            merged_l = jnp.where(fpos >= p, tl, cl_ref[:])
+            merged = [
+                jnp.where(fpos >= p, tv, c[:])
+                for tv, c in zip(tiles, carry)
+            ]
             full = end >= _TILE
 
             @pl.when(full)
@@ -260,12 +269,12 @@ def _kernel(
                 si = st_ref[1]
                 buf = st_ref[4]
                 off = pl.ds(pl.multiple_of(si * _TROWS, _TROWS), _TROWS)
-                sh_ref[buf, off, :] = merged_h
-                sl_ref[buf, off, :] = merged_l
+                for s, mg in zip(stag, merged):
+                    s[buf, off, :] = mg
                 # wrapped elements of the rotated tile live at
                 # [0, end-1024)
-                ch_ref[:] = th
-                cl_ref[:] = tl
+                for c, tv in zip(carry, tiles):
+                    c[:] = tv
                 st_ref[0] = end - _TILE
                 st_ref[1] = si + 1
 
@@ -275,8 +284,8 @@ def _kernel(
 
             @pl.when(jnp.logical_not(full))
             def _():
-                ch_ref[:] = merged_h
-                cl_ref[:] = merged_l
+                for c, mg in zip(carry, merged):
+                    c[:] = mg
                 st_ref[0] = end
 
         st_ref[3] = st_ref[3] + kbsum
@@ -287,18 +296,17 @@ def _kernel(
         p = st_ref[0]
         si = st_ref[1]
         buf = st_ref[4]
-        sent_h = jnp.full((_TROWS, _LANES), sentinel_hi, jnp.int32)
-        sent_l = jnp.full((_TROWS, _LANES), sentinel_lo, jnp.int32)
+        zero = jnp.zeros((_TROWS, _LANES), jnp.int32)
         off = pl.ds(pl.multiple_of(si * _TROWS, _TROWS), _TROWS)
-        sh_ref[buf, off, :] = jnp.where(fpos < p, ch_ref[:], sent_h)
-        sl_ref[buf, off, :] = jnp.where(fpos < p, cl_ref[:], sent_l)
+        for s, c in zip(stag, carry):
+            s[buf, off, :] = jnp.where(fpos < p, c[:], zero)
         si = si + 1
         for j in range(_STAGE_TILES):
             @pl.when(j >= si)
             def _():
                 joff = pl.ds(pl.multiple_of(j * _TROWS, _TROWS), _TROWS)
-                sh_ref[buf, joff, :] = sent_h
-                sl_ref[buf, joff, :] = sent_l
+                for s in stag:
+                    s[buf, joff, :] = zero
         st_ref[1] = si
         flush_chunk()
         for b in range(2):
@@ -309,18 +317,17 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
-def compact_rows(keep, hi, lo, capacity: int, *, interpret: bool = False):
-    """Compact rows where `keep` into a [capacity_pad] buffer.
+def compact_rows_multi(keep, channels, capacity: int, *, interpret: bool = False):
+    """Compact rows where `keep` into fixed [capacity] buffers.
 
-    keep bool[N], hi/lo i32[N]; N must be a multiple of 32768 and
-    capacity a multiple of 32768.  Returns (hi_c, lo_c, count) with
-    hi_c/lo_c i32[capacity]: rows [0, min(count, capacity)) hold the
-    kept rows in input order, the remainder holds the Morton sentinel.
-    count is the TRUE number of kept rows — count > capacity means the
-    tail was dropped (caller decides whether to fall back).
-    """
-    from pointcloudhookup_tpu.ops.morton import SENTINEL_HI
-
+    keep bool[N]; channels: tuple of i32[N] (bitcast other 32-bit dtypes
+    outside).  N must be a multiple of 32768 and capacity a multiple of
+    32768.  Returns (tuple of i32[capacity], count): rows
+    [0, min(count, capacity)) hold the kept rows in input order, the
+    remainder holds zeros.  count is the TRUE number of kept rows —
+    count > capacity means the tail was dropped (caller decides whether
+    to fall back)."""
+    nchan = len(channels)
     n = keep.shape[0]
     if n % _BLOCK:
         raise ValueError(f"N={n} must be a multiple of {_BLOCK}")
@@ -331,60 +338,82 @@ def compact_rows(keep, hi, lo, capacity: int, *, interpret: bool = False):
     max_chunks = cap_pad // _CHUNK
     nb = n // _BLOCK
 
-    kernel = functools.partial(
-        _kernel, sentinel_hi=int(SENTINEL_HI), sentinel_lo=0,
-        max_chunks=max_chunks,
-    )
+    kernel = functools.partial(_kernel, nchan=nchan, max_chunks=max_chunks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((_TROWS, _LANES), jnp.int32),   # carry hi
-            pltpu.VMEM((_TROWS, _LANES), jnp.int32),   # carry lo
-            pltpu.VMEM((2, _CH_ROWS, _LANES), jnp.int32),  # staging hi x2
-            pltpu.VMEM((2, _CH_ROWS, _LANES), jnp.int32),  # staging lo x2
-            pltpu.VMEM((_ROWS, _LANES), jnp.int32),        # routed hi
-            pltpu.VMEM((_ROWS, _LANES), jnp.int32),        # routed lo
-            pltpu.VMEM((_ROWS, _LANES), jnp.int32),        # routed rowpref
-            pltpu.SMEM((8,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))]
+        * (1 + nchan),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nchan
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=(
+            [pltpu.VMEM((_TROWS, _LANES), jnp.int32)] * nchan      # carry
+            + [pltpu.VMEM((2, _CH_ROWS, _LANES), jnp.int32)] * nchan  # staging
+            + [pltpu.VMEM((_ROWS, _LANES), jnp.int32)] * nchan     # routed
+            + [
+                pltpu.VMEM((_ROWS, _LANES), jnp.int32),            # rowpref
+                pltpu.SMEM((8,), jnp.int32),
+            ]
+            + [pltpu.SemaphoreType.DMA((2,))] * nchan
+        ),
     )
-    outh, outl, cnt = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((cap_pad // _LANES, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((cap_pad // _LANES, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-        ],
+            jax.ShapeDtypeStruct((cap_pad // _LANES, _LANES), jnp.int32)
+        ] * nchan
+        + [jax.ShapeDtypeStruct((1,), jnp.int32)],
         interpret=interpret,
     )(
         keep.astype(jnp.int32).reshape(n // _LANES, _LANES),
-        hi.reshape(n // _LANES, _LANES),
-        lo.reshape(n // _LANES, _LANES),
+        *[c.reshape(n // _LANES, _LANES) for c in channels],
     )
-    count = cnt[0]
-    hi_c = outh.reshape(-1)[:capacity]
-    lo_c = outl.reshape(-1)[:capacity]
+    count = outs[nchan][0]
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    ok = iota < jnp.minimum(count, capacity)
     # rows at/after the count (or past a dropped-tail overflow) must be
-    # sentinels for every downstream stage; the kernel sentinel-pads its
+    # deterministic for every downstream stage; the kernel zero-pads its
     # final chunk but chunks past max_chunks were never written
+    comp = tuple(
+        jnp.where(ok, o.reshape(-1)[:capacity], 0) for o in outs[:nchan]
+    )
+    return comp, count
+
+
+def compact_rows_multi_reference(keep, channels, capacity: int):
+    """XLA oracle with identical semantics (slow on TPU — tests/CPU)."""
+    n = keep.shape[0]
+    count = jnp.sum(keep.astype(jnp.int32))
+    (idx,) = jnp.nonzero(keep, size=capacity, fill_value=n - 1)
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    ok = iota < jnp.minimum(count, capacity)
+    comp = tuple(
+        jnp.where(ok, jnp.take(c, idx, indices_are_sorted=True), 0)
+        for c in channels
+    )
+    return comp, count
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
+def compact_rows(keep, hi, lo, capacity: int, *, interpret: bool = False):
+    """Compact Morton (hi, lo) rows where `keep` into a [capacity] buffer.
+
+    keep bool[N], hi/lo i32[N]; N must be a multiple of 32768 and
+    capacity a multiple of 32768.  Returns (hi_c, lo_c, count) with
+    hi_c/lo_c i32[capacity]: rows [0, min(count, capacity)) hold the
+    kept rows in input order, the remainder holds the Morton sentinel.
+    count is the TRUE number of kept rows — count > capacity means the
+    tail was dropped (caller decides whether to fall back).
+    """
+    from pointcloudhookup_tpu.ops.morton import SENTINEL_HI
+
+    (hi_c, lo_c), count = compact_rows_multi(
+        keep, (hi, lo), capacity, interpret=interpret
+    )
     iota = jnp.arange(capacity, dtype=jnp.int32)
     ok = iota < jnp.minimum(count, capacity)
     hi_c = jnp.where(ok, hi_c, jnp.int32(SENTINEL_HI))
-    lo_c = jnp.where(ok, lo_c, 0)
     return hi_c, lo_c, count
 
 
@@ -392,13 +421,10 @@ def compact_rows_reference(keep, hi, lo, capacity: int):
     """XLA oracle with identical semantics (slow on TPU — tests/CPU)."""
     from pointcloudhookup_tpu.ops.morton import SENTINEL_HI
 
-    n = keep.shape[0]
-    count = jnp.sum(keep.astype(jnp.int32))
-    (idx,) = jnp.nonzero(keep, size=capacity, fill_value=n - 1)
-    hi_c = jnp.take(hi, idx, indices_are_sorted=True)
-    lo_c = jnp.take(lo, idx, indices_are_sorted=True)
+    (hi_c, lo_c), count = compact_rows_multi_reference(
+        keep, (hi, lo), capacity
+    )
     iota = jnp.arange(capacity, dtype=jnp.int32)
     ok = iota < jnp.minimum(count, capacity)
     hi_c = jnp.where(ok, hi_c, jnp.int32(SENTINEL_HI))
-    lo_c = jnp.where(ok, lo_c, 0)
     return hi_c, lo_c, count

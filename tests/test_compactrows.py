@@ -113,3 +113,28 @@ def test_validation_errors():
         compact_rows(jnp.zeros(n + 1, bool), z, z, _CHUNK, interpret=True)
     with pytest.raises(ValueError, match="multiple"):
         compact_rows(jnp.zeros(n, bool), z, z, _CHUNK + 1, interpret=True)
+
+
+def test_multi_channel_four():
+    # the exact-semantics front-end routes (x, y, z, idx) — four
+    # channels sharing one routing computation
+    from pointcloudhookup_tpu.ops.pallas.compactrows import (
+        compact_rows_multi,
+        compact_rows_multi_reference,
+    )
+
+    rng = np.random.default_rng(7)
+    n = _BLOCK
+    keep = rng.random(n) < 0.21
+    chans = tuple(
+        jnp.asarray(rng.integers(0, 2**30, n, dtype=np.int32))
+        for _ in range(4)
+    )
+    cap = _CHUNK
+    comp, cnt = compact_rows_multi(
+        jnp.asarray(keep), chans, cap, interpret=True
+    )
+    ref, rcnt = compact_rows_multi_reference(jnp.asarray(keep), chans, cap)
+    assert int(cnt) == int(rcnt) == int(keep.sum())
+    for a, b in zip(comp, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
