@@ -57,8 +57,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from pointcloudhookup_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
 
     from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
     from pointcloudhookup_tpu.models.towers import filter_and_dedup

@@ -14,7 +14,8 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from pointcloudhookup_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
 
     from bench import build_workload
     from pointcloudhookup_tpu.config import ExtractParams, ClusterParams

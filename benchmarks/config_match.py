@@ -112,7 +112,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from pointcloudhookup_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
 
     from pointcloudhookup_tpu.ops.geo import (
         greedy_match_arrays,

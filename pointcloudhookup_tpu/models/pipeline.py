@@ -169,6 +169,82 @@ def extract(
     return towers
 
 
+def _exact_fast_plan(points: np.ndarray, params: ExtractParams, cap: int):
+    """Host-side routing decision for the exact fast front-end
+    (ops/frontend_exact.py).  Returns the static cell-key bit plan, or
+    None when the tile must take the modular extract_step path."""
+    if os.environ.get("PCH_EXACT_FAST", "1") == "0":
+        return None
+    cp = params.cluster
+    if cp.per_chunk or cp.method not in ("auto", "grid"):
+        return None
+    if cp.method == "auto" and cap <= cp.auto_grid_threshold:
+        return None
+    if cap % 32768 or cp.max_cells % 1024:
+        return None
+    if not len(points):
+        return None
+    from pointcloudhookup_tpu.ops.frontend_exact import exact_cell_plan
+
+    span = points.max(axis=0) - points.min(axis=0)
+    return exact_cell_plan(span, cp.eps)
+
+
+def _extract_stats_exact_fast(
+    xyz: np.ndarray,
+    mask: np.ndarray,
+    params: ExtractParams,
+    cell_bits,
+    _ccap: Optional[int] = None,
+) -> Optional[dict]:
+    """Run the exact fast front-end with the modular path's density-floor
+    retry contract; reconstruct input-order labels/ground_keep on host.
+
+    The survivor compaction starts at N/4 capacity; should a tile keep
+    more, ONE retry at full capacity is always exact (survivors <= N).
+    Density-floor escalation mirrors extract_from_points' modular retry
+    loop.  _ccap injects a small starting capacity for tests."""
+    from pointcloudhookup_tpu.ops.frontend_exact import exact_extract_graph
+
+    cap = xyz.shape[0]
+    ccap = _ccap if _ccap is not None else min(
+        round_up(max(cap // 4, 32768), 32768), cap
+    )
+    floor = params.cluster.min_cell_points
+    xyz_j = jnp.asarray(xyz)
+    mask_j = jnp.asarray(mask)
+    while True:
+        stats = exact_extract_graph(
+            xyz_j, mask_j, params, cell_bits=cell_bits, compact_cap=ccap,
+            max_cells=params.cluster.max_cells, min_cell_points=floor,
+        )
+        stats = {k: np.asarray(v) for k, v in stats.items()}
+        if int(stats["compact_count"]) > ccap:
+            ccap = cap  # survivors <= N, so full capacity always fits
+            continue
+        if float(stats["cells_overflow"]) > 0.0 and floor < 16:
+            floor = min(floor * 2 if floor > 1 else 2, 16)
+            continue
+        break
+
+    labels = np.full(cap, -1, np.int32)
+    labs = stats.pop("labels_sorted")
+    rows = stats.pop("rows_sorted")
+    sel = labs >= 0
+    labels[rows[sel]] = labs[sel]
+    off = (
+        params.ground.retry_offset
+        if bool(stats.pop("used_retry"))
+        else params.ground.offset
+    )
+    base = np.float32(stats["base_height"])
+    keep = mask & (xyz[:, 2].astype(np.float32) > base + np.float32(off))
+    stats.pop("compact_count")
+    stats["labels"] = labels
+    stats["ground_keep"] = keep
+    return stats
+
+
 def extract_from_points(
     points: np.ndarray,
     params: ExtractParams = ExtractParams(),
@@ -176,15 +252,36 @@ def extract_from_points(
 ) -> tuple[list[Tower], dict, np.ndarray]:
     """Extraction from an in-memory f64[N,3] world-coordinate array.
     Returns (towers, device stats dict as numpy, origin).  `capacity`
-    pins the padded buffer size (same capacity -> reused executable)."""
+    pins the padded buffer size (same capacity -> reused executable).
+
+    Large tiles route to the exact fast front-end
+    (ops/frontend_exact.py) when eligible — identical semantics to the
+    modular extract_step at fast-path cost; the modular path remains
+    the fallback (ineligible tile geometry, per-chunk parity mode,
+    survivor-compaction overflow, PCH_EXACT_FAST=0)."""
     points = np.asarray(points, np.float64).reshape(-1, 3)
     origin = points.mean(axis=0) if len(points) else np.zeros(3)
-    pad = params.cluster.chunk_size if params.cluster.per_chunk else 1024
-    cap = capacity if capacity is not None else round_up(max(len(points), 1), pad)
+    if capacity is not None:
+        cap = capacity
+    elif params.cluster.per_chunk:
+        cap = round_up(max(len(points), 1), params.cluster.chunk_size)
+    elif len(points) > params.cluster.auto_grid_threshold:
+        # fast-exact front-end wants 32768-multiple capacities
+        cap = round_up(max(len(points), 1), 32768)
+    else:
+        cap = round_up(max(len(points), 1), 1024)
     xyz = np.zeros((cap, 3), np.float32)
     xyz[: len(points)] = (points - origin).astype(np.float32)
     mask = np.zeros(cap, bool)
     mask[: len(points)] = True
+
+    plan = _exact_fast_plan(points, params, cap)
+    if plan is not None:
+        stats = _extract_stats_exact_fast(xyz, mask, params, plan)
+        if stats is not None:
+            towers = towers_from_stats(stats, origin)
+            return towers, stats, origin
+
     stats = extract_step(jnp.asarray(xyz), jnp.asarray(mask), params)
     stats = {k: np.asarray(v) for k, v in stats.items()}
     # grid cell-table overflow silently drops dense cells — at corridor

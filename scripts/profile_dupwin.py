@@ -5,7 +5,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax, jax.numpy as jnp, numpy as np
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from pointcloudhookup_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from pointcloudhookup_tpu.ops.pallas.dupwin import first_occurrence_flags
     N = 4 * 1024 * 1024

@@ -22,7 +22,8 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from pointcloudhookup_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     rng = np.random.default_rng(0)
     hi = jnp.asarray(rng.integers(0, 1 << 30, N, dtype=np.uint32))
     lo = jnp.asarray(rng.integers(0, 1 << 30, N, dtype=np.uint32))

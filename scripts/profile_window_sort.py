@@ -33,7 +33,8 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from pointcloudhookup_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     rng = np.random.default_rng(0)
     k1 = jnp.asarray(rng.integers(0, 1 << 31, N, dtype=np.uint32))
     w = jnp.asarray(rng.integers(0, 1 << 15, N, dtype=np.uint16))

@@ -18,11 +18,14 @@ import jax  # noqa: E402
 if not os.environ.get("PCH_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: XLA compiles are slow on this box; cache
-# compiled executables across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Persistent compilation cache: XLA compiles are slow on a 1-core box;
+# cache compiled executables across pytest runs.  The directory is keyed
+# by a HOST fingerprint (utils/cache.py) — XLA:CPU AOT entries are
+# machine-specific, and a cache that travels with the repo to another
+# machine produces loader errors + full recompiles otherwise.
+from pointcloudhookup_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

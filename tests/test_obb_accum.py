@@ -143,3 +143,29 @@ def test_accum_kernel_stats_interpret(corridor):
             np.asarray(ref[key]), np.asarray(ker[key]), rtol=1e-5, atol=1e-4,
             err_msg=key,
         )
+
+
+def test_obb_accumulate_xyz_matches_reference(rng):
+    from pointcloudhookup_tpu.ops.pallas.obb_accum import (
+        obb_accumulate_xyz,
+        obb_accumulate_xyz_reference,
+    )
+
+    n, k, a = 8192, 32, 32
+    x = (rng.normal(size=n) * 50).astype(np.float32)
+    y = (rng.normal(size=n) * 50).astype(np.float32)
+    z = rng.uniform(0, 60, n).astype(np.float32)
+    lab = rng.integers(-1, k, n).astype(np.int32)
+    ker = obb_accumulate_xyz(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(lab),
+        max_clusters=k, num_angles=a, interpret=True,
+    )
+    ref = obb_accumulate_xyz_reference(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(lab),
+        max_clusters=k, num_angles=a,
+    )
+    for key in ref:
+        np.testing.assert_allclose(
+            np.asarray(ker[key]), np.asarray(ref[key]), rtol=1e-5,
+            atol=1e-3, err_msg=key,
+        )

@@ -33,3 +33,26 @@ def test_histogram_percentile_approximates(rng):
     want = float(np.percentile(x, 25.0))
     span = x.max() - x.min()
     assert abs(got - want) < span / 4096 * 2
+
+
+def test_bisect_percentile_matches_sort_based(rng):
+    from pointcloudhookup_tpu.ops.percentile import masked_percentile_bisect
+
+    for trial in range(12):
+        n = int(rng.integers(2, 4000))
+        x = rng.normal(scale=100, size=n).astype(np.float32)
+        if trial % 3 == 0:
+            x = np.round(x / 10) * 10  # heavy duplicates
+        mask = rng.random(n) < 0.8
+        if not mask.any():
+            mask[0] = True
+        q = float(rng.uniform(0, 100))
+        a = float(masked_percentile(jnp.asarray(x), jnp.asarray(mask), q))
+        b = float(
+            masked_percentile_bisect(jnp.asarray(x), jnp.asarray(mask), q)
+        )
+        # the two order statistics are identical by construction; the
+        # final lerp may differ by an ULP across XLA fusion contexts
+        np.testing.assert_allclose(b, a, rtol=1e-6, err_msg=(trial, q))
+        want = float(np.percentile(x[mask].astype(np.float64), q))
+        assert abs(b - want) < 1e-2, (trial, q, b, want)
