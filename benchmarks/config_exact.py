@@ -1,0 +1,97 @@
+"""Exact-semantics extraction throughput (VERDICT r3 item 2).
+
+The modular parity path (pipeline.extract == the reference-semantics
+surface, /root/reference/utils/tower_extraction.py:20-240) measured
+32.8 Mpts/s at 4M in round 3.  This benchmark measures the exact fast
+front-end (ops/frontend_exact.py) that now backs extract_from_points on
+eligible tiles: identical ground cut / cluster partition / per-cluster
+counts (tests/test_exact_frontend.py), no fast-path approximations.
+
+Prints one JSON line with the settled-graph throughput at the bench
+workload (4M corridor, 24 towers) plus the routing result.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudhookup_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
+
+    import bench
+    from pointcloudhookup_tpu.config import ExtractParams
+    from pointcloudhookup_tpu.models.pipeline import (
+        _exact_fast_plan,
+        _extract_stats_exact_fast,
+    )
+    from pointcloudhookup_tpu.ops.frontend_exact import exact_extract_graph
+
+    n = 4 * 1024 * 1024
+    xyz, mask, centers = bench.build_workload(n)
+    params = ExtractParams()
+    pts64 = xyz[mask].astype(np.float64)
+    plan = _exact_fast_plan(pts64, params, n)
+
+    # correctness through the product routing (includes retries)
+    stats = _extract_stats_exact_fast(xyz, mask, params, plan)
+    towers_found = int(stats["accepted"].sum())
+
+    # settled-graph throughput (floor from the routing's retry outcome)
+    ccap = max(n // 4 // 32768 * 32768, 32768)
+    xyz_j = jnp.asarray(xyz)
+    mask_j = jnp.asarray(mask)
+    floor = params.cluster.min_cell_points
+    while True:
+        out = exact_extract_graph(
+            xyz_j, mask_j, params, cell_bits=plan, compact_cap=ccap,
+            max_cells=params.cluster.max_cells, min_cell_points=floor,
+        )
+        if float(np.asarray(out["cells_overflow"])) > 0.0 and floor < 16:
+            floor = min(floor * 2 if floor > 1 else 2, 16)
+            continue
+        break
+
+    def run():
+        return exact_extract_graph(
+            xyz_j, mask_j, params, cell_bits=plan, compact_cap=ccap,
+            max_cells=params.cluster.max_cells, min_cell_points=floor,
+        )
+
+    def fence(o):
+        return np.asarray(o["accepted"][0:1])
+
+    for _ in range(2):
+        fence(run())
+    iters = 32
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run()
+        fence(out)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
+
+    mpts = n / dt / 1e6
+    print(json.dumps(dict(
+        metric="exact_extract_throughput", value=round(mpts, 1),
+        unit="Mpts/s", vs_target=round(mpts / 200.0, 3),
+        n_points=n, towers_found=towers_found,
+        towers_expected=len(centers),
+        ms_per_iter=round(dt * 1e3, 2), density_floor=floor,
+        round3_modular_mpts=32.8,
+        semantics="exact (parity with modular extract_step: "
+                  "tests/test_exact_frontend.py)",
+    )))
+
+
+if __name__ == "__main__":
+    main()

@@ -219,6 +219,11 @@ def _extract_stats_exact_fast(
             max_cells=params.cluster.max_cells, min_cell_points=floor,
         )
         stats = {k: np.asarray(v) for k, v in stats.items()}
+        if float(stats["core_overflow"]) > 0.0:
+            # more core cells than the flood table: the min-label flood
+            # is incomplete — the modular path is the correct fallback
+            # (a density-floor retry would not shrink CORE cells)
+            return None
         if int(stats["compact_count"]) > ccap:
             ccap = cap  # survivors <= N, so full capacity always fits
             continue
@@ -227,6 +232,7 @@ def _extract_stats_exact_fast(
             continue
         break
 
+    stats.pop("core_overflow")
     labels = np.full(cap, -1, np.int32)
     labs = stats.pop("labels_sorted")
     rows = stats.pop("rows_sorted")
@@ -656,9 +662,22 @@ def correct(
             raise ValueError("correct(icp=True) requires pc_clouds")
         from pointcloudhookup_tpu.models.refine import refine_tower_centers
 
+        # pylon-frame geometry from the matched GIM model where the
+        # properties carry it (杆塔高 = total tower height) — the frame
+        # being aligned is the MODEL's, not a self-template
+        tmpl = {}
+        for gi, pi in pairs:
+            th = _tower_prop(gim_list[gi], "杆塔高", "")
+            try:
+                th = float(th)
+            except (TypeError, ValueError):
+                th = None
+            if th:
+                tmpl[pi] = (th, None)
         refined = refine_tower_centers(
             pc_towers, pc_clouds, [pi for _, pi in pairs],
             iters=icp_iters, max_corr_dist=icp_max_corr_dist,
+            template_params=tmpl or None,
         )
         for pi, r in refined.items():
             e, n, h_ellip = (float(v) for v in r["center"])

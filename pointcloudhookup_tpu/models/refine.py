@@ -65,6 +65,7 @@ def refine_tower_centers(
     pair_indices: Sequence[int],
     iters: int = 30,
     max_corr_dist: float = 2.0,
+    template_params: Optional[dict] = None,
 ) -> dict[int, dict]:
     """Batched ICP refinement of the matched towers' positions.
 
@@ -73,6 +74,13 @@ def refine_tower_centers(
     indices of the matched pairs.  Returns {pc_index: dict(center f64[3],
     rmse, inlier_frac, shift)} — `center` is the refined WORLD position
     of the tower's box center.
+
+    template_params: optional {pc_index: (height, width)} overriding the
+    pylon-frame geometry per pair — the GIM-model scenario (BASELINE
+    config 4) derives height from the matched GIM tower's 杆塔高
+    property instead of the extracted box, so the frame being aligned is
+    the MODEL's geometry, not a self-template.  Either entry may be
+    None to keep the extracted value.
     """
     from pointcloudhookup_tpu.ops.registration import register_tower_pairs
 
@@ -81,10 +89,16 @@ def refine_tower_centers(
         if pi >= len(clouds) or clouds[pi] is None or len(clouds[pi]) < 16:
             continue
         t = towers[pi]
-        # the SMALLER horizontal extent: a one-sided artifact inflates
-        # the long axis (and thus t.width = max extent) but rarely both,
-        # so ey is the robust estimate of the true lattice width
-        template = tower_frame_template(t.height, float(t.extent[1]), yaw=t.angle)
+        # default width: the SMALLER horizontal extent — a one-sided
+        # artifact inflates the long axis (and thus t.width = max
+        # extent) but rarely both, so ey is the robust estimate of the
+        # true lattice width
+        height, width = t.height, float(t.extent[1])
+        if template_params and pi in template_params:
+            th, tw = template_params[pi]
+            height = float(th) if th else height
+            width = float(tw) if tw else width
+        template = tower_frame_template(height, width, yaw=t.angle)
         local = (np.asarray(clouds[pi], np.float64) - t.center).astype(np.float32)
         idx.append(pi)
         src.append(template)

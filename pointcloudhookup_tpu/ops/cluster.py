@@ -106,14 +106,15 @@ def _dbscan_jit(
 
         pop, _ = neighbor_reduce(
             xyz, jnp.zeros(n, jnp.int32), mask.astype(jnp.float32), mask, eps2,
-            sentinel=n,
+            sentinel=n, mode="pop",
         )
         counts = pop.astype(jnp.int32)
         core = mask & (counts >= min_points)
 
         def neighbor_min(labels, allowed):
             _, lmin = neighbor_reduce(
-                xyz, labels, jnp.zeros(n, jnp.float32), allowed, eps2, sentinel=n
+                xyz, labels, jnp.zeros(n, jnp.float32), allowed, eps2,
+                sentinel=n, mode="lmin",
             )
             return lmin
 
@@ -175,12 +176,21 @@ def _dbscan_jit(
 
 def compact_labels(raw, inf):
     """Map representative-index labels (inf = noise) to compact ids
-    0..K-1 ordered by ascending representative; noise -> -1."""
-    sorted_lab = jnp.sort(raw)
+    0..K-1 ordered by ascending representative; noise -> -1.
+
+    Sort-rank-unsort: sort (value, row), rank each run by a cumsum of
+    run starts, sort back by row.  The previous searchsorted delivery
+    cost log2(M) gather rounds on TPU (~several ms at 64k); a
+    value-indexed scatter table costs an [M]-row scatter (~1 ms); two
+    small payload sorts cost ~0.2 ms each and work on every backend."""
+    n = raw.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_lab, src = lax.sort((raw, iota), num_keys=1)
     is_new = (sorted_lab != jnp.roll(sorted_lab, 1)).at[0].set(True)
-    uniq_sorted = jnp.sort(jnp.where(is_new & (sorted_lab < inf), sorted_lab, inf))
-    idx = jnp.searchsorted(uniq_sorted, raw).astype(jnp.int32)
-    return jnp.where(raw < inf, idx, -1)
+    valid = is_new & (sorted_lab < inf)
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    _, rank_orig = lax.sort((src, rank), num_keys=1)
+    return jnp.where(raw < inf, rank_orig, -1)
 
 
 def dbscan_chunked(

@@ -137,16 +137,19 @@ def grid_dbscan(
     if use_pallas:
         from pointcloudhookup_tpu.ops.pallas.neighbor import neighbor_reduce
 
-        def _reduce(labels, weights, allowed):
+        def _reduce(labels, weights, allowed, mode):
             return neighbor_reduce(
-                centers, labels, weights, allowed, eps2, sentinel=m
+                centers, labels, weights, allowed, eps2, sentinel=m,
+                mode=mode,
             )
 
-        pop, _ = _reduce(jnp.zeros(m, jnp.int32), counts, cell_alive)
+        pop, _ = _reduce(jnp.zeros(m, jnp.int32), counts, cell_alive, "pop")
         core_cell = cell_alive & (pop >= min_points)
 
         def neighbor_min(labels, allowed):
-            _, lmin = _reduce(labels, jnp.zeros(m, jnp.float32), allowed)
+            _, lmin = _reduce(
+                labels, jnp.zeros(m, jnp.float32), allowed, "lmin"
+            )
             return lmin
 
     else:

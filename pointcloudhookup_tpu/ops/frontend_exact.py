@@ -60,6 +60,127 @@ from pointcloudhookup_tpu.ops.segments import segmented_scan
 _COMPACT_BLOCK = 32768
 _KEY_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
+def _core_flood_cluster(
+    centers, ccount, cell_alive, eps2, min_points, on_tpu: bool,
+    core_cap: int = 16384,
+    _cut: int = 0,
+):
+    """grid_dbscan's cell-graph fixpoint, restructured so the REPEATED
+    passes run on the tiny core subgraph instead of the full table:
+
+      1. ONE fused pairwise pass computes every dense cell's eps-ball
+         population (ops/pallas/neighbor.py) -> core mask.  Sparse
+         vegetation dominates a corridor's dense-cell table (~57k cells
+         at the 4M bench tile) but almost none of it is core (~1k
+         cells): paying O(pairs) once is unavoidable (every cell's
+         count feeds its neighbors' pops), paying it per label-walk is
+         not — the in-kernel converge loop cost 27 ms here.
+      2. Core cells compact into a [core_cap] table; the min-label
+         flood (cluster_cells, min_points=0 so the kernel floods every
+         row) runs there at ~core-count cost.  Seeds are core-table
+         indices; the compaction is order-preserving, so the flood's
+         min-index representative maps back to the min PACKED index —
+         identical labels to grid_dbscan's full-table flood.
+      3. Border adoption is ONE more neighbor_reduce pass in "lmin"
+         mode with allowed=core: the kernel's column culling uses
+         allowed-only AABBs and core cells occupy a handful of
+         granules, so nearly every block pair culls away (~0.9 ms; an
+         XLA [M, core-tile] masked-min pass cost 8.5 ms — poor fusion
+         of the [M, 1024] intermediates).
+
+    Returns (labels i32[M] — representative packed index, M = noise —
+    and core_overflow f32: core cells beyond core_cap, which makes the
+    flood incomplete; callers must treat the result as invalid and fall
+    back)."""
+    m = centers.shape[0]
+    sent = jnp.int32(m)
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+
+    # -- 1. pop over the full dense table (one pairwise pass)
+    if on_tpu:
+        from pointcloudhookup_tpu.ops.pallas.neighbor import neighbor_reduce
+
+        pop, _ = neighbor_reduce(
+            centers, jnp.zeros(m, jnp.int32), ccount, cell_alive, eps2,
+            sentinel=m, mode="pop",
+        )
+    else:
+        from pointcloudhookup_tpu.ops.pallas.neighbor import (
+            neighbor_reduce_reference,
+        )
+
+        pop, _ = neighbor_reduce_reference(
+            centers, jnp.zeros(m, jnp.int32), ccount, cell_alive, eps2,
+            sentinel=m,
+        )
+    core = cell_alive & (pop >= jnp.float32(min_points))
+    if _cut == 41:
+        return pop, jnp.float32(0.0)
+
+    # -- 2. compact core cells; flood on the small table
+    from pointcloudhookup_tpu.ops.obb import _compact_valid_rows
+
+    cap = min(core_cap, m)
+    (core_rows,), n_core, core_overflow = _compact_valid_rows(
+        core, (iota_m,), cap, fill=sent
+    )
+    slot_ok = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(
+        n_core, jnp.int32(cap)
+    )
+    big = jnp.float32(3.0e38)
+    core_centers = jnp.where(
+        slot_ok[:, None], centers[jnp.clip(core_rows, 0, m - 1)], big
+    )
+    if on_tpu:
+        from pointcloudhookup_tpu.ops.pallas.cluster_converge import (
+            cluster_cells,
+        )
+    else:
+        from pointcloudhookup_tpu.ops.pallas.cluster_converge import (
+            cluster_cells_reference as cluster_cells,
+        )
+    tab_labels, _ = cluster_cells(
+        core_centers, jnp.ones(cap, jnp.float32), slot_ok,
+        jnp.arange(cap, dtype=jnp.int32), eps2, 0.0,
+    )
+    # core-table index -> original packed index (order-preserving)
+    rep = jnp.where(
+        slot_ok & (tab_labels < cap),
+        core_rows[jnp.clip(tab_labels, 0, cap - 1)],
+        sent,
+    )
+
+    if _cut == 42:
+        return rep, core_overflow
+
+    # -- 3. labels back on the full table + border adoption.  Border is
+    # a SECOND neighbor_reduce pass with allowed=core: the kernel's
+    # column culling uses allowed-only AABBs, and core cells live in a
+    # handful of 1024-granules (the towers), so nearly every block pair
+    # culls away — measured ~1 ms where an XLA [M, core-tile] masked-min
+    # pass cost 8.5 ms (poor fusion of the [M, 1024] intermediates).
+    lab_core = jnp.full(m, sent).at[
+        jnp.where(slot_ok, core_rows, sent)
+    ].set(jnp.where(slot_ok, rep, sent), mode="drop")
+    if on_tpu:
+        from pointcloudhookup_tpu.ops.pallas.neighbor import neighbor_reduce
+
+        _, border = neighbor_reduce(
+            centers, lab_core, jnp.zeros(m, jnp.float32), core, eps2,
+            sentinel=m, mode="lmin",
+        )
+    else:
+        from pointcloudhookup_tpu.ops.pallas.neighbor import (
+            neighbor_reduce_reference,
+        )
+
+        _, border = neighbor_reduce_reference(
+            centers, lab_core, jnp.zeros(m, jnp.float32), core, eps2,
+            sentinel=m,
+        )
+    labels = jnp.where(core, lab_core, jnp.where(cell_alive, border, sent))
+    return labels, core_overflow
+
 
 def exact_cell_plan(span_xyz, eps: float):
     """Host-side plan: per-axis cell-key bit widths for a tile.
@@ -211,14 +332,35 @@ def exact_extract_graph(
     )
     dense_start = c_start & valid_s & (ctot >= jnp.int32(min_cell_points))
 
-    # ---- pack the dense-cell table
+    # ---- pack the dense-cell table.  The compaction routes the
+    # per-cell payloads (population + a member coordinate) alongside
+    # the start-row positions: 4 extra channels in one kernel pass cost
+    # ~0.4 ms where four [m]-sized random gathers from [C] cost ~1.5 ms.
+    n_dense = jnp.sum(dense_start.astype(jnp.int32))
+    cell_alive = jnp.arange(m, dtype=jnp.int32) < n_dense
     if on_tpu:
-        from pointcloudhookup_tpu.ops.pallas.compactrows import compact_rows
+        from pointcloudhookup_tpu.ops.pallas.compactrows import (
+            compact_rows_multi,
+        )
 
         mcap = _round_up(max(m, _COMPACT_BLOCK), _COMPACT_BLOCK)
         pos = jnp.arange(c, dtype=jnp.int32)
-        rows_packed, _, _ = compact_rows(dense_start, pos, pos, mcap)
+        (rows_packed, ctot_p, pxb, pyb, pzb), _ = compact_rows_multi(
+            dense_start,
+            (
+                pos,
+                ctot,
+                lax.bitcast_convert_type(xs, jnp.int32),
+                lax.bitcast_convert_type(ys, jnp.int32),
+                lax.bitcast_convert_type(zs, jnp.int32),
+            ),
+            mcap,
+        )
         rows_m = jnp.minimum(rows_packed[:m], jnp.int32(c - 1))
+        ccount = jnp.where(cell_alive, ctot_p[:m].astype(jnp.float32), 0.0)
+        px = lax.bitcast_convert_type(pxb[:m], jnp.float32)
+        py = lax.bitcast_convert_type(pyb[:m], jnp.float32)
+        pz = lax.bitcast_convert_type(pzb[:m], jnp.float32)
     else:
         csum = jnp.cumsum(dense_start.astype(jnp.int32))
         rows_m = jnp.clip(
@@ -228,13 +370,12 @@ def exact_extract_graph(
             0,
             c - 1,
         ).astype(jnp.int32)
-    n_dense = jnp.sum(dense_start.astype(jnp.int32))
-    cell_alive = jnp.arange(m, dtype=jnp.int32) < n_dense
-    ccount = jnp.where(cell_alive, ctot[rows_m].astype(jnp.float32), 0.0)
+        ccount = jnp.where(cell_alive, ctot[rows_m].astype(jnp.float32), 0.0)
+        px, py, pz = xs[rows_m], ys[rows_m], zs[rows_m]
     # cell centers relative to mn, recomputed from a member coordinate
-    # with the SAME f32 arithmetic as the assignment above (no key
-    # decode needed — the start row's point is in the cell by definition)
-    px, py, pz = xs[rows_m], ys[rows_m], zs[rows_m]
+    # with the SAME f32 arithmetic as the key assignment above (the
+    # start row's point is in the cell by definition; identical values
+    # to grid_dbscan's (k + 0.5) * cell)
     cij = jnp.stack(
         [
             jnp.floor((px - mn[0]) / cell),
@@ -243,40 +384,35 @@ def exact_extract_graph(
         ],
         axis=1,
     )
-    centers = (cij + 0.5) * cell
-    centers = jnp.where(cell_alive[:, None], centers, big)
+    centers = jnp.where(cell_alive[:, None], (cij + 0.5) * cell, big)
 
     if _cut == 4:
-        return dict(centers=centers, ccount=ccount)
+        return dict(centers=centers, ccount=ccount, cell_alive=cell_alive)
 
-    # ---- fused cell-graph clustering (pop + min-label + border)
+    # ---- cell-graph clustering: one pairwise pop pass, then the
+    # min-label flood on the compacted CORE subgraph (see
+    # _core_flood_cluster — the full-table converge kernel cost 27 ms
+    # at the bench tile's 57k dense cells, almost all sparse vegetation)
     eps2 = eps * eps
-    labels0 = jnp.arange(m, dtype=jnp.int32)
-    if on_tpu:
-        from pointcloudhookup_tpu.ops.pallas.cluster_converge import (
-            cluster_cells,
-        )
-    else:
-        from pointcloudhookup_tpu.ops.pallas.cluster_converge import (
-            cluster_cells_reference as cluster_cells,
-        )
-    cell_labels, _pop = cluster_cells(
-        centers, ccount, cell_alive, labels0, eps2, cp.min_points
+    cell_labels, core_overflow = _core_flood_cluster(
+        centers, ccount, cell_alive, eps2, cp.min_points, on_tpu,
+        _cut=_cut,
     )
+    if _cut in (41, 42):
+        return dict(v=cell_labels, o=core_overflow)
     cell_labels = compact_labels(cell_labels, jnp.int32(m))
 
     if _cut == 5:
         return dict(cell_labels=cell_labels)
 
-    # ---- per-row labels: packed index by cumsum, density flag by a
-    # forward fill, ONE [C] gather from the m-table (no scatter)
-    pidx_row = jnp.cumsum(dense_start.astype(jnp.int32)) - 1
-    df_row = segmented_scan(
-        jnp.maximum, dense_start.astype(jnp.int32), c_start
-    )
-    in_table = (df_row == 1) & (pidx_row >= 0) & (pidx_row < m)
-    lab_row = cell_labels[jnp.clip(pidx_row, 0, m - 1)]
-    labels_s = jnp.where(valid_s & in_table & (lab_row >= 0), lab_row, -1)
+    # ---- per-row labels: deliver each packed cell's label to its start
+    # row (m-sized scatter, dead slots dropped) and forward-fill across
+    # the cell run — the [C]-gather alternative measured ~3x slower
+    lab_at_start = jnp.full(c, -1, jnp.int32).at[
+        jnp.where(cell_alive, rows_m, jnp.int32(c))
+    ].set(jnp.where(cell_alive, cell_labels, -1), mode="drop")
+    lab_row = segmented_scan(jnp.maximum, lab_at_start, c_start)
+    labels_s = jnp.where(valid_s & (lab_row >= 0), lab_row, -1)
 
     if _cut == 6:
         return dict(labels_s=labels_s)
@@ -317,5 +453,6 @@ def exact_extract_graph(
         used_retry=used_retry,
         compact_count=cnt,
         cells_overflow=cells_overflow,
+        core_overflow=core_overflow,
         **stats,
     )

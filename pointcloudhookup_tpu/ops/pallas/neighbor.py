@@ -14,6 +14,17 @@ d^2 is computed from coordinate DIFFERENCES (dx^2+dy^2+dz^2), not the
 |x|^2 - 2xy expansion: exact in f32 at corridor coordinate scales and
 needs no MXU (the K=3 contraction never fed it anyway).
 
+Culling is PRECOMPUTED at 256-element column-subtile granularity (the
+cluster_converge recipe): sparse tables (corridor vegetation cells)
+make 1024-element block AABBs span hundreds of meters, so block-level
+gap tests barely cull; their 256-element quarters do.  One tiny
+[nb, nb] XLA sort packs each row block's near column indices to the
+front; the kernel loops over exactly the near pairs and computes each
+visited block IN FULL — in-kernel predication is what the loop
+replaces (per-block lax.cond over ALL blocks cost 14 ms at 57k sparse
+cells; per-subtile pl.when bits cost ~4 us of Mosaic scheduling
+barrier EACH, 5x the work they skipped).
+
 Outputs (both in one pass):
   pop[i]  = sum_j  (d2(i,j) <= eps2 & allowed_j) * weight_j
   lmin[i] = min_j  (d2(i,j) <= eps2 & allowed_j) ? label_j : sentinel
@@ -34,11 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 1024  # minimum aligned dynamic-slice granule for 1-D f32 VMEM
 _SUB = 256  # static sub-tile of the column block (temp = [_BLOCK, _SUB])
+_NSUB = _BLOCK // _SUB
 
 
-def _kernel(eps2_ref, rlo_ref, rhi_ref, blo_ref, bhi_ref, x_ref, y_ref, z_ref,
-            label_ref, weight_ref, allowed_ref, pop_ref, lmin_ref, *, sentinel: int):
-    m = x_ref.shape[0]
+def _kernel(eps2_ref, ncnt_ref, ncol_ref,
+            x_ref, y_ref, z_ref, label_ref, weight_ref, allowed_ref,
+            pop_ref, lmin_ref, pop_s, lmin_s, *, sentinel: int, mode: str):
     bm = pop_ref.shape[0]
     i = pl.program_id(0)
     eps2 = eps2_ref[0]
@@ -48,66 +60,53 @@ def _kernel(eps2_ref, rlo_ref, rhi_ref, blo_ref, bhi_ref, x_ref, y_ref, z_ref,
     ry = y_ref[pl.ds(row_off, bm)]
     rz = z_ref[pl.ds(row_off, bm)]
 
-    # this row block's AABB (block_m == _BLOCK: one granule per program).
-    # Row bounds cover every FINITE row (outputs are read for rows
-    # outside `allowed` too, e.g. border-cell label adoption); column
-    # bounds cover allowed rows only (others contribute nothing).
-    rx_lo = rlo_ref[i, 0]
-    ry_lo = rlo_ref[i, 1]
-    rz_lo = rlo_ref[i, 2]
-    rx_hi = rhi_ref[i, 0]
-    ry_hi = rhi_ref[i, 1]
-    rz_hi = rhi_ref[i, 2]
+    pop_s[:] = jnp.zeros((bm,), jnp.float32)
+    lmin_s[:] = jnp.full((bm,), sentinel, jnp.int32)
 
-    def body(j, carry):
-        pop, lmin = carry
-        # column-block AABB vs row-block AABB: skip far blocks (the
-        # Morton-packed table is spatially coherent, and dead capacity
-        # rows sit at +3e38, so most block pairs cull)
-        cx_lo = blo_ref[j, 0]
-        cy_lo = blo_ref[j, 1]
-        cz_lo = blo_ref[j, 2]
-        cx_hi = bhi_ref[j, 0]
-        cy_hi = bhi_ref[j, 1]
-        cz_hi = bhi_ref[j, 2]
-        gx = jnp.maximum(jnp.maximum(cx_lo - rx_hi, rx_lo - cx_hi), 0.0)
-        gy = jnp.maximum(jnp.maximum(cy_lo - ry_hi, ry_lo - cy_hi), 0.0)
-        gz = jnp.maximum(jnp.maximum(cz_lo - rz_hi, rz_lo - cz_hi), 0.0)
-        near = gx * gx + gy * gy + gz * gz <= eps2
-
-        def compute(carry):
-            pop, lmin = carry
-            off = pl.multiple_of(j * _BLOCK, _BLOCK)
-            cx = x_ref[pl.ds(off, _BLOCK)]
-            cy = y_ref[pl.ds(off, _BLOCK)]
-            cz = z_ref[pl.ds(off, _BLOCK)]
-            lab = label_ref[pl.ds(off, _BLOCK)]
-            wgt = weight_ref[pl.ds(off, _BLOCK)]
-            alw = allowed_ref[pl.ds(off, _BLOCK)]
-            # static sub-tiles keep the [bm, _SUB] temporaries small
-            for s in range(_BLOCK // _SUB):
-                sl = slice(s * _SUB, (s + 1) * _SUB)
-                dx = rx[:, None] - cx[sl][None, :]
-                dy = ry[:, None] - cy[sl][None, :]
-                dz = rz[:, None] - cz[sl][None, :]
-                d2 = dx * dx + dy * dy + dz * dz
-                nb = (d2 <= eps2) & (alw[sl] > 0)[None, :]
-                pop = pop + jnp.sum(jnp.where(nb, wgt[sl][None, :], 0.0), axis=1)
-                lmin = jnp.minimum(
-                    lmin, jnp.min(jnp.where(nb, lab[sl][None, :], sentinel), axis=1)
+    def body(t, carry):
+        j = ncol_ref[i, t]
+        off = pl.multiple_of(j * _BLOCK, _BLOCK)
+        cx = x_ref[pl.ds(off, _BLOCK)]
+        cy = y_ref[pl.ds(off, _BLOCK)]
+        cz = z_ref[pl.ds(off, _BLOCK)]
+        lab = label_ref[pl.ds(off, _BLOCK)]
+        wgt = weight_ref[pl.ds(off, _BLOCK)]
+        alw = allowed_ref[pl.ds(off, _BLOCK)]
+        # every near block computes its FULL 1024 columns in static
+        # subtile slices with NO predication: a pl.when per subtile is
+        # a Mosaic scheduling barrier costing ~4 us — at ~600 visits x
+        # 4 subtiles that PREDICATION cost ~9 ms, 5x the ~1.7 ms of
+        # unconditional VPU work it was skipping.  Subtile-level AABBs
+        # still tighten the near LIST itself (built in XLA below).
+        for s in range(_NSUB):
+            sl = slice(s * _SUB, (s + 1) * _SUB)
+            dx = rx[:, None] - cx[sl][None, :]
+            dy = ry[:, None] - cy[sl][None, :]
+            dz = rz[:, None] - cz[sl][None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            nb = (d2 <= eps2) & (alw[sl] > 0)[None, :]
+            # mode-specialized: the pop pass never consumes lmin and the
+            # border pass never consumes pop — each reduction is ~40%
+            # of the visit's VPU work, so callers skip the dead one
+            if mode in ("both", "pop"):
+                pop_s[:] = pop_s[:] + jnp.sum(
+                    jnp.where(nb, wgt[sl][None, :], 0.0), axis=1
                 )
-            return pop, lmin
+            if mode in ("both", "lmin"):
+                lmin_s[:] = jnp.minimum(
+                    lmin_s[:],
+                    jnp.min(jnp.where(nb, lab[sl][None, :], sentinel), axis=1),
+                )
+        return carry
 
-        return jax.lax.cond(near, compute, lambda c: c, carry)
-
-    pop0 = jnp.zeros((bm,), jnp.float32)
-    lmin0 = jnp.full((bm,), sentinel, jnp.int32)
-    pop, lmin = jax.lax.fori_loop(0, m // _BLOCK, body, (pop0, lmin0))
-    pop_ref[:] = pop
-    lmin_ref[:] = lmin
+    jax.lax.fori_loop(0, ncnt_ref[i], body, 0)
+    pop_ref[:] = pop_s[:]
+    lmin_ref[:] = lmin_s[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "sentinel", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "sentinel", "interpret", "mode")
+)
 def neighbor_reduce(
     xyz,
     labels,
@@ -118,13 +117,20 @@ def neighbor_reduce(
     block_m: int = 1024,
     sentinel: int | None = None,
     interpret: bool = False,
+    mode: str = "both",
 ):
     """Fused eps-neighborhood population + min-label reduction.
 
     xyz: f32[M,3]; labels: i32[M]; weights: f32[M]; allowed: bool[M];
     eps2: scalar.  M must be a multiple of 1024 (and of block_m).
     Returns (pop f32[M], lmin i32[M]).
+
+    mode: "both" computes the two reductions; "pop" / "lmin" skip the
+    unused one (the skipped output returns its identity — zeros /
+    sentinel).
     """
+    if mode not in ("both", "pop", "lmin"):
+        raise ValueError(f"bad mode {mode!r}")
     m = xyz.shape[0]
     if m % _BLOCK or m % block_m:
         raise ValueError(f"M={m} must be a multiple of {_BLOCK}")
@@ -135,42 +141,67 @@ def neighbor_reduce(
     x = xyz[:, 0]
     y = xyz[:, 1]
     z = xyz[:, 2]
-    # per-1024-granule AABBs.  Column culling uses ALLOWED-only bounds
-    # (disallowed rows contribute nothing); row culling uses FINITE-row
-    # bounds (outputs are consumed for non-allowed rows too).  Dead
-    # capacity rows carry +3e38 sentinels, so their blocks cull away.
+    # Row AABBs cover every FINITE row at 1024 granularity (outputs are
+    # read for rows outside `allowed` too, e.g. border-cell label
+    # adoption); column AABBs cover ALLOWED rows only (others contribute
+    # nothing) at 256-subtile granularity.  Dead capacity rows carry
+    # +3e38 sentinels, so their granules cull away.
     big = jnp.float32(3.0e38)
     finite_cut = jnp.float32(1.0e37)
     alw = allowed.astype(bool)
     finite = jnp.abs(x) < finite_cut
     nb = m // _BLOCK
 
-    def _bounds(v, sel):
-        vb = v.reshape(nb, _BLOCK)
-        sb = sel.reshape(nb, _BLOCK)
+    def _bounds(v, sel, groups):
+        vb = v.reshape(groups, -1)
+        sb = sel.reshape(groups, -1)
         lo = jnp.min(jnp.where(sb, vb, big), axis=1)
         hi = jnp.max(jnp.where(sb, vb, -big), axis=1)
         return lo, hi
 
-    def _aabb(sel):
-        xlo, xhi = _bounds(x, sel)
-        ylo, yhi = _bounds(y, sel)
-        zlo, zhi = _bounds(z, sel)
-        return jnp.stack([xlo, ylo, zlo], axis=1), jnp.stack([xhi, yhi, zhi], axis=1)
+    def _aabb(sel, groups):
+        xlo, xhi = _bounds(x, sel, groups)
+        ylo, yhi = _bounds(y, sel, groups)
+        zlo, zhi = _bounds(z, sel, groups)
+        return (
+            jnp.stack([xlo, ylo, zlo], axis=1),
+            jnp.stack([xhi, yhi, zhi], axis=1),
+        )
 
-    rlo, rhi = _aabb(finite)
-    blo, bhi = _aabb(alw)
+    rlo, rhi = _aabb(finite, nb)
+    sblo, sbhi = _aabb(alw, nb * _NSUB)
 
-    kernel = functools.partial(_kernel, sentinel=sentinel)
+    # near bits per (row block, column subtile); empty AABBs give inf
+    # gaps (clamped) that cull as intended
+    gap = jnp.maximum(
+        jnp.maximum(
+            sblo.reshape(nb, _NSUB, 3)[None, :, :, :] - rhi[:, None, None, :],
+            rlo[:, None, None, :] - sbhi.reshape(nb, _NSUB, 3)[None, :, :, :],
+        ),
+        0.0,
+    )
+    gap = jnp.minimum(gap, big)
+    near_sub = jnp.sum(gap * gap, axis=-1) <= jnp.float32(eps2)  # [nb, nb, 4]
+    submask = jnp.sum(
+        near_sub.astype(jnp.int32)
+        << jnp.arange(_NSUB, dtype=jnp.int32)[None, None, :],
+        axis=-1,
+    )  # [nb, nb]
+    near = submask != 0
+    cols = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    key = jnp.where(near, cols, nb + cols)
+    key = jnp.sort(key, axis=1)
+    ncol = jnp.where(key < nb, key, 0).astype(jnp.int32)
+    ncnt = jnp.sum(near.astype(jnp.int32), axis=1)
+
+    kernel = functools.partial(_kernel, sentinel=sentinel, mode=mode)
     pop, lmin = pl.pallas_call(
         kernel,
         grid=(m // block_m,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps2
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # row AABB lo [nb,3]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # row AABB hi [nb,3]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # col AABB lo [nb,3]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # col AABB hi [nb,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ncnt [nb]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ncol [nb, nb]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
             pl.BlockSpec(memory_space=pltpu.VMEM),  # y
             pl.BlockSpec(memory_space=pltpu.VMEM),  # z
@@ -186,13 +217,15 @@ def neighbor_reduce(
             jax.ShapeDtypeStruct((m,), jnp.float32),
             jax.ShapeDtypeStruct((m,), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m,), jnp.float32),
+            pltpu.VMEM((block_m,), jnp.int32),
+        ],
         interpret=interpret,
     )(
         jnp.asarray([eps2], jnp.float32),
-        rlo,
-        rhi,
-        blo,
-        bhi,
+        ncnt,
+        ncol,
         x,
         y,
         z,

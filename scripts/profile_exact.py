@@ -118,7 +118,8 @@ def main():
             0: "full (+obb/filters)",
         }
         prev = 0.0
-        for cut in (1, 2, 3, 4, 5, 6, 0):
+        names[41] = '+pop pass'; names[42] = '+core flood'
+        for cut in (1, 2, 3, 4, 41, 42, 5, 6, 0):
             def run_cut(floor=floor, cut=cut):
                 return exact_extract_graph(
                     xyz_j, mask_j, params, cell_bits=plan, compact_cap=ccap,
