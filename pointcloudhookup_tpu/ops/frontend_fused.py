@@ -137,7 +137,7 @@ def _dup_window_flags(key, w, depth: int, n: int):
         "params", "max_cells", "min_cell_points", "cell_shift",
         "geometric_voxels", "emit", "return_cells_overflow",
         "sort_mode", "hier_window", "cell_plan", "precut_div",
-        "precut_margin", "_cut",
+        "precut_margin", "core_flood_cells", "_cut",
     ),
 )
 def fused_downsample_ground_cluster(
@@ -158,6 +158,7 @@ def fused_downsample_ground_cluster(
     cell_plan=None,
     precut_div: int = 0,
     precut_margin: float = 0.25,
+    core_flood_cells: int = 16384,
     _cut: int = 0,
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
@@ -657,11 +658,26 @@ def fused_downsample_ground_cluster(
     if _cut == 4:
         return centers, ccount, cell_alive
 
-    # ---- cell-graph clustering (fused pallas kernel on TPU)
+    # ---- cell-graph clustering
     eps2 = eps * eps
     iota_m = jnp.arange(m, dtype=jnp.int32)
     use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    core_flood_over = None
+    if m >= core_flood_cells:
+        # big tables (the 16M/32k-cell envelope): the full-table
+        # converge kernel's label walks pay O(pairs) PER ROUND over a
+        # mostly-sparse table; the core-flood restructure pays the
+        # pairwise pop once and floods only the compacted core cells
+        # (ops/frontend_exact.py::_core_flood_cluster).  Small tables
+        # stay on the one-invocation converge kernel (lower fixed cost).
+        from pointcloudhookup_tpu.ops.frontend_exact import (
+            _core_flood_cluster,
+        )
+
+        cell_labels, core_flood_over = _core_flood_cluster(
+            centers, ccount, cell_alive, eps2, cp.min_points, use_pallas
+        )
+    elif use_pallas:
         # whole clustering loop — population pass, Jacobi min-label
         # rounds with early exit, border adoption — in ONE kernel
         # invocation with every m-table VMEM-resident
@@ -697,6 +713,11 @@ def fused_downsample_ground_cluster(
         # stay unlabeled.  Callers that surface quality flags ask for
         # the dropped-cell count instead of failing silently.
         cells_over = jnp.maximum(n_dense - jnp.int32(m), 0).astype(jnp.float32)
+        if core_flood_over is not None:
+            # an over-full core-flood table leaves the min-label flood
+            # incomplete — same remedy as a cell-table spill (split the
+            # tile / re-run denser), so it rides the same flag
+            cells_over = cells_over + core_flood_over
         if precut_dropped is not None:
             # pre-cut capacity overflow drops above-cut rows outright —
             # same remedy as a cell-table spill (split the tile), so it

@@ -217,3 +217,33 @@ def test_cells_overflow_reported_not_silent(corridor):
         max_cells=16, min_cell_points=1, geometric_voxels=True,
     )
     assert float(tiny["cells_overflow"]) > 0.0
+
+
+def test_fused_core_flood_branch_matches_converge(corridor):
+    """Big cell tables route the cluster stage through the core-flood
+    restructure (ops/frontend_exact.py); force the branch at a small
+    table and pin equality of labels/keep against the converge-kernel
+    branch."""
+    from pointcloudhookup_tpu.ops.frontend_fused import (
+        fused_downsample_ground_cluster,
+    )
+
+    pts, _ = corridor
+    origin = pts.mean(axis=0)
+    xyz, mask = pad_points((pts - origin).astype(np.float32), 8192)
+    kwargs = dict(
+        max_cells=2048, min_cell_points=1, geometric_voxels=True,
+        emit="codes", return_cells_overflow=True,
+    )
+    base = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), _params(), **kwargs,
+        core_flood_cells=1 << 30,  # converge-kernel branch
+    )
+    flood = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), _params(), **kwargs,
+        core_flood_cells=2048,  # force the core-flood branch
+    )
+    # (hi, lo, keep, labels, base, mn, cells_over, hier_over)
+    np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(flood[2]))
+    np.testing.assert_array_equal(np.asarray(base[3]), np.asarray(flood[3]))
+    assert float(np.asarray(flood[6])) == float(np.asarray(base[6]))
