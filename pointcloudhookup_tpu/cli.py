@@ -207,6 +207,44 @@ def cmd_viz_export(args):
     print(f"{len(geoms)} tower boxes -> {args.output}")
 
 
+def cmd_export_scene(args):
+    """LAS (+ extraction) -> colored binary PLY for external viewers.
+
+    The headless counterpart of the reference's interactive scene
+    (ui/vtk_widget.py:41 display_full_scene / towers.py:155-197
+    Open3D window): per-point cluster colors (height colormap without
+    --towers) and the enlarged tower wireframes as PLY edge elements —
+    CloudCompare/MeshLab/Open3D open the file directly."""
+    import numpy as np
+
+    from pointcloudhookup_tpu.io.las import read_las
+    from pointcloudhookup_tpu.viz.boxes import tower_display_geometries
+    from pointcloudhookup_tpu.viz.export import export_scene_ply
+
+    pts = read_las(args.las).xyz()
+    labels, accepted, geoms = None, None, []
+    if args.towers:
+        from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
+        from pointcloudhookup_tpu.models.pipeline import extract_from_points
+
+        params = ExtractParams(
+            cluster=ClusterParams(eps=args.eps, min_points=args.min_points)
+        )
+        towers, stats, _ = extract_from_points(pts, params)
+        labels = np.asarray(stats["labels"])[: len(pts)]
+        accepted = [t.label for t in towers]
+        geoms = tower_display_geometries(towers, preset=args.preset)
+        print(f"{len(towers)} tower boxes")
+    summary = export_scene_ply(
+        args.output, pts, labels=labels, accepted_labels=accepted,
+        geoms=geoms, display_cap=args.display_cap,
+    )
+    print(
+        f"scene -> {args.output} ({summary['vertices']} vertices, "
+        f"{summary['edges']} wireframe edges)"
+    )
+
+
 def cmd_render(args):
     """Offscreen scene render: LAS (+ extracted tower boxes) -> PNG.
 
@@ -465,6 +503,16 @@ def main(argv=None):
     add_extract_args(sp)
     sp.add_argument("--preset", default="kuangxuan_original")
     sp.set_defaults(fn=cmd_viz_export)
+
+    sp = sub.add_parser("export-scene", help="export a colored PLY scene (points + tower wireframes) for external viewers")
+    sp.add_argument("las")
+    sp.add_argument("output")
+    sp.add_argument("--towers", action="store_true", help="extract + color clusters + wireframes")
+    sp.add_argument("--eps", type=float, default=8.0)
+    sp.add_argument("--min-points", type=int, default=80)
+    sp.add_argument("--preset", default="kuangxuan_original")
+    sp.add_argument("--display-cap", type=int, default=500_000)
+    sp.set_defaults(fn=cmd_export_scene)
 
     sp = sub.add_parser("render", help="offscreen render of a LAS scene (+ tower boxes) to PNG")
     sp.add_argument("las")

@@ -6,3 +6,9 @@ from pointcloudhookup_tpu.viz.boxes import (  # noqa: F401
     get_bbox_preset,
     tower_display_geometries,
 )
+from pointcloudhookup_tpu.viz.export import (  # noqa: F401
+    colors_from_labels,
+    export_scene_ply,
+    height_colors,
+    read_ply_scene,
+)
