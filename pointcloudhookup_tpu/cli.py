@@ -235,10 +235,18 @@ def cmd_export_scene(args):
         accepted = [t.label for t in towers]
         geoms = tower_display_geometries(towers, preset=args.preset)
         print(f"{len(towers)} tower boxes")
-    summary = export_scene_ply(
-        args.output, pts, labels=labels, accepted_labels=accepted,
-        geoms=geoms, display_cap=args.display_cap,
-    )
+    if args.output.lower().endswith((".las", ".laz")):
+        from pointcloudhookup_tpu.viz.export import export_scene_las
+
+        summary = export_scene_las(
+            args.output, pts, labels=labels, accepted_labels=accepted,
+            display_cap=args.display_cap,
+        )
+    else:
+        summary = export_scene_ply(
+            args.output, pts, labels=labels, accepted_labels=accepted,
+            geoms=geoms, display_cap=args.display_cap,
+        )
     print(
         f"scene -> {args.output} ({summary['vertices']} vertices, "
         f"{summary['edges']} wireframe edges)"

@@ -168,6 +168,42 @@ def export_scene_ply(
     }
 
 
+def export_scene_las(
+    path: str,
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    labels: Optional[np.ndarray] = None,
+    accepted_labels: Optional[Sequence[int]] = None,
+    display_cap: int = 500_000,
+    seed: int = 0,
+) -> dict:
+    """Colored LAS twin of export_scene_ply: point format 2 (u16 RGB,
+    u8 colors scaled x257 per the LAS convention).  Wireframes cannot
+    ride in LAS — use the PLY export when boxes are wanted."""
+    from pointcloudhookup_tpu.io.las import make_las, write_las
+    from pointcloudhookup_tpu.viz.boxes import subsample_indices
+
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    if colors is None:
+        colors = (
+            colors_from_labels(labels, accepted_labels)
+            if labels is not None
+            else height_colors(points[:, 2])
+        )
+    colors = np.asarray(colors, np.uint8).reshape(-1, 3)
+    if len(colors) != len(points):
+        raise ValueError("colors/points length mismatch")
+    idx = subsample_indices(len(points), display_cap, seed)
+    las = make_las(points[idx], point_format=2)
+    rgb16 = colors[idx].astype(np.uint16) * 257
+    las.points["red"], las.points["green"], las.points["blue"] = (
+        rgb16[:, 0], rgb16[:, 1], rgb16[:, 2],
+    )
+    write_las(las, path)
+    return {"vertices": int(len(idx)), "cloud_points": int(len(idx)),
+            "boxes": 0, "edges": 0}
+
+
 def read_ply_scene(path: str):
     """Minimal reader for the PLYs this module writes (and any binary
     little-endian PLY restricted to the same two elements).  Returns

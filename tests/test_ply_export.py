@@ -92,6 +92,24 @@ def test_height_colormap(tmp_path):
     assert (rgb == cols).all()
 
 
+def test_colored_las_roundtrip(tmp_path):
+    from pointcloudhookup_tpu.io.las import read_las
+    from pointcloudhookup_tpu.viz.export import export_scene_las
+
+    rng = np.random.default_rng(2)
+    pts = rng.normal(0, 10, (300, 3))
+    labels = np.repeat(np.arange(3) - 1, 100)
+    path = str(tmp_path / "scene.las")
+    summary = export_scene_las(path, pts, labels=labels)
+    assert summary["cloud_points"] == 300
+    las = read_las(path)
+    assert las.point_format == 2
+    np.testing.assert_allclose(las.xyz(), pts, atol=1e-3)
+    expect = colors_from_labels(labels).astype(np.uint16) * 257
+    assert (las.points["red"] == expect[:, 0]).all()
+    assert (las.points["blue"] == expect[:, 2]).all()
+
+
 def test_color_length_mismatch(tmp_path):
     with pytest.raises(ValueError):
         export_scene_ply(
