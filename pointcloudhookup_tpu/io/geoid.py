@@ -6,6 +6,14 @@ consumed via PROJ (/root/reference/crs.py:6,28) and a simulated EGM2008
 formats load into ops.geo.GeoidGrid for the bilinear-interp kernel, and
 `check_grid_effective` reproduces crs.py's "N≈0 ⇒ grid not in effect"
 probe (/root/reference/crs.py:49-52).
+
+Grid ACQUISITION (the reference's elevation_conversion.py:49-78
+downloads EGM grids from OSGeo at runtime) is deliberately out of
+scope: this framework runs in network-isolated production environments,
+so grids are local files supplied by the operator — point `--geoid` /
+`load_geoid` at a .gtx or .npz on disk.  The empirical-N fallback
+(ops/geo.py::ellipsoid_to_orthometric) covers the no-grid case exactly
+as the reference's ElevationConverter does.
 """
 
 from __future__ import annotations
