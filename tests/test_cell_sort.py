@@ -9,6 +9,8 @@ not positional."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # compile-heavy on a cold 1-core host; quick tier = pytest -m 'not heavy'
+
 from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
 from pointcloudhookup_tpu.ops.frontend_fused import (
     fused_downsample_ground_cluster,

@@ -58,6 +58,7 @@ def test_cli_compress_and_extract(workspace, capsys, tmp_path):
     assert out.count("tower_") == len(centers)
 
 
+@pytest.mark.heavy
 def test_cli_extract_adaptive_method(workspace, capsys, tmp_path):
     """--cluster-method adaptive (knob-free eps) finds the towers."""
     tmp, las, gim, centers = workspace

@@ -7,6 +7,7 @@ applies min-cluster-SIZE filtering on top of grid_dbscan.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pointcloudhookup_tpu.core import pad_points
@@ -81,6 +82,7 @@ def test_min_cluster_size_demotes_small_clusters(rng):
     assert len(set(lab2[400:].tolist()) - {-1}) == 1
 
 
+@pytest.mark.heavy
 def test_adaptive_via_extract_step_finds_towers(corridor):
     """End-to-end: method="adaptive" through the canonical extractor."""
     import dataclasses

@@ -8,6 +8,8 @@ plus carry/staging sequencing, sentinel padding, and capacity overflow.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # compile-heavy on a cold 1-core host; quick tier = pytest -m 'not heavy'
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 

@@ -3,6 +3,7 @@ extract_step: same ground cut, same cluster partition, same per-cluster
 point counts; centers/extents to the angle-grid tolerance."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pointcloudhookup_tpu.config import (
@@ -111,6 +112,7 @@ def test_exact_fast_matches_modular_extract_step():
         )
 
 
+@pytest.mark.heavy
 def test_exact_fast_compaction_overflow_retries_at_full_capacity():
     """A tile whose survivors exceed the starting compaction capacity
     must retry at full capacity (always exact) rather than drop points:

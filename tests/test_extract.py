@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pointcloudhookup_tpu.config import (
@@ -96,6 +97,7 @@ def test_random_downsample(rng):
     assert recommend_chunk_size(16) == 2_000_000
 
 
+@pytest.mark.heavy
 def test_grid_overflow_retries_density_floor():
     """A cell table too small for the sparse-vegetation cell count must
     not silently lose towers: extract_from_points retries with a higher

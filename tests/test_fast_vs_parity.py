@@ -13,6 +13,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # compile-heavy on a cold 1-core host; quick tier = pytest -m 'not heavy'
+
 from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
 from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
 from pointcloudhookup_tpu.models.towers import filter_and_dedup

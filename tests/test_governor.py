@@ -117,6 +117,7 @@ def test_tile_streamer_auto_capacity(monkeypatch, tmp_path):
     assert total == 3000
 
 
+@pytest.mark.heavy
 def test_stream_extract_governed_runs(rng):
     """stream_extract with no capacity arg runs end to end (the VERDICT
     'no manual tuning' criterion, scaled to test size)."""

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pointcloudhookup_tpu.config import (
@@ -84,6 +85,7 @@ def test_fused_frontend_matches_modular(corridor):
     assert (ext[:, 2] > 15).all() and ((ext[:, 0] > 8) & (ext[:, 0] < 50)).all()
 
 
+@pytest.mark.heavy
 def test_fused_codes_path_matches_xyz_path(corridor):
     """emit='codes' + cluster_obb_stats_codes must reproduce the
     geometric xyz path EXACTLY: both use voxel centers, the codes path

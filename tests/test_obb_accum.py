@@ -1,6 +1,7 @@
 """Sort-free OBB accumulation kernel vs oracles."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pointcloudhookup_tpu.core import pad_points
@@ -56,6 +57,7 @@ def test_kernel_matches_reference_interpret(rng):
         )
 
 
+@pytest.mark.heavy
 def test_accum_stats_match_sort_path(corridor):
     """cluster_obb_stats_accum must agree with the sort-based codes OBB
     at tower level on the corridor (flat-A vs coarse+refine angle search

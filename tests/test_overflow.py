@@ -34,6 +34,7 @@ def _dense_tile(rng, nx, ny, pts_per_tower=400, n_ground=40_000, spacing=45.0):
     return pts, centers
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("fast", [True, False])
 def test_300_structure_tile_fully_extracted(rng, fast):
     """20 x 15 = 300 towers against max_clusters=128: the base step

@@ -69,6 +69,7 @@ def test_sharded_extract_runs_and_finds_towers(rng):
     np.testing.assert_allclose(got, want, atol=2.5)
 
 
+@pytest.mark.heavy
 def test_sharded_extract_fast_path(rng):
     """fast=True (fused front-end + accum OBB per shard, global psum'd
     ground base) finds the same towers as the modular sharded step."""
@@ -109,6 +110,7 @@ def test_sharded_merge_unifies_boundary_tower(rng):
     assert int(np.asarray(merged["accepted"]).sum()) == len(centers)
 
 
+@pytest.mark.heavy
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
@@ -118,6 +120,7 @@ def test_graft_entry_single_chip():
     assert "accepted" in out
 
 
+@pytest.mark.heavy
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
@@ -153,6 +156,7 @@ def test_merge_fragments_equal_count_tiebreak():
     assert float(np.asarray(merged["count"])[2]) == 8194.0
 
 
+@pytest.mark.heavy
 @pytest.mark.slow
 def test_sharded_fast_precut_engages(rng):
     """Shards >= 131072 rows engage the ground pre-cut against the

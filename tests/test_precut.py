@@ -38,6 +38,7 @@ def _workload(n):
     return jnp.asarray(xyz), jnp.asarray(mask), centers
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("div", [2, 4])
 def test_precut_matches_plain_fast(div):
     n = 131072  # smallest size where cap = n//div stays >= 32768

@@ -1,6 +1,7 @@
 """One-pass Pallas segmented scan vs the XLA Hillis-Steele oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pointcloudhookup_tpu.ops.pallas.segscan import segmented_scan_pallas
@@ -25,6 +26,7 @@ def _case(rng, n, dtype):
     return jnp.asarray(v), jnp.asarray(s)
 
 
+@pytest.mark.heavy
 def test_segscan_all_ops_match_oracle(rng):
     n = 65536  # 2 blocks of 32768: exercises the cross-block carry
     for dtype in (np.int32, np.float32):

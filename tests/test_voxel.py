@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pointcloudhookup_tpu.core import pad_points
@@ -22,6 +23,7 @@ def _sorted_rows(a):
     return a[np.lexsort(a.T)]
 
 
+@pytest.mark.heavy
 def test_voxel_matches_numpy_oracle(rng):
     pts = rng.uniform(0, 5, size=(2000, 3)).astype(np.float32)
     xyz, mask = pad_points(pts, 2048)
