@@ -156,6 +156,56 @@ def main():
 
     n_towers_found = int(np.asarray(out[2]).sum())
     mpts = N_POINTS / dt / 1e6
+
+    # per-stage split via the _cut cumulative-prefix hooks: timing the
+    # prefix graphs and differencing out consecutive cuts attributes the
+    # iteration to its stages IN the artifact (a single-stage regression
+    # can't hide inside the headline).  PCH_BENCH_STAGES=0 skips.
+    stages = {}
+    if os.environ.get("PCH_BENCH_STAGES", "1") == "1":
+        stage_names = {
+            1: "precut+compact+sort",
+            2: "ground (decode+percentile)",
+            3: "cells (scans)",
+            4: "m-table pack",
+            5: "cluster kernel",
+        }
+
+        def cut_fn(cut):
+            @_jax.jit
+            def f(xyz, mask):
+                return fused_downsample_ground_cluster(
+                    xyz, mask, params, max_cells=max_cells,
+                    min_cell_points=3, geometric_voxels=True,
+                    emit="codes", sort_mode=sort_mode,
+                    cell_plan=cell_plan, precut_div=precut_div,
+                    _cut=cut,
+                )
+            return f
+
+        def fence_any(o):
+            leaf = o
+            while isinstance(leaf, (tuple, list)):
+                leaf = leaf[0]
+            return np.asarray(leaf.ravel()[0:1])
+
+        s_iters = 16
+        prev = 0.0
+        for cut in (1, 2, 3, 4, 5):
+            f = cut_fn(cut)
+            for _ in range(2):
+                fence_any(f(xyz, mask))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(s_iters):
+                    o = f(xyz, mask)
+                fence_any(o)
+                best = min(best, (time.perf_counter() - t0) / s_iters)
+            stages[stage_names[cut]] = round((best - prev) * 1e3, 2)
+            prev = best
+        stages["labels+obb+filters"] = round((dt - prev) * 1e3, 2)
+
     result = {
         "metric": "extract_frontend_throughput",
         "value": round(mpts, 2),
@@ -168,6 +218,7 @@ def main():
             "towers_expected": len(centers),
             "sort_mode": sort_mode,
             "device": str(jax.devices()[0]),
+            "stages_ms": stages,
         },
     }
     print(json.dumps(result))

@@ -213,8 +213,9 @@ def cmd_export_scene(args):
     The headless counterpart of the reference's interactive scene
     (ui/vtk_widget.py:41 display_full_scene / towers.py:155-197
     Open3D window): per-point cluster colors (height colormap without
-    --towers) and the enlarged tower wireframes as PLY edge elements —
-    CloudCompare/MeshLab/Open3D open the file directly."""
+    --towers) and the enlarged tower wireframes as PLY edge elements.
+    The colored points load in any PLY viewer; the nonstandard edge
+    element renders in MeshLab (CloudCompare/Open3D skip it)."""
     import numpy as np
 
     from pointcloudhookup_tpu.io.las import read_las
@@ -222,6 +223,7 @@ def cmd_export_scene(args):
     from pointcloudhookup_tpu.viz.export import export_scene_ply
 
     pts = read_las(args.las).xyz()
+    las_out = args.output.lower().endswith((".las", ".laz"))
     labels, accepted, geoms = None, None, []
     if args.towers:
         from pointcloudhookup_tpu.config import ClusterParams, ExtractParams
@@ -233,9 +235,16 @@ def cmd_export_scene(args):
         towers, stats, _ = extract_from_points(pts, params)
         labels = np.asarray(stats["labels"])[: len(pts)]
         accepted = [t.label for t in towers]
-        geoms = tower_display_geometries(towers, preset=args.preset)
+        if las_out:
+            if towers:
+                print(
+                    "note: tower wireframes are not representable in "
+                    "LAS/LAZ — use a .ply output to get box edges"
+                )
+        else:
+            geoms = tower_display_geometries(towers, preset=args.preset)
         print(f"{len(towers)} tower boxes")
-    if args.output.lower().endswith((".las", ".laz")):
+    if las_out:
         from pointcloudhookup_tpu.viz.export import export_scene_las
 
         summary = export_scene_las(

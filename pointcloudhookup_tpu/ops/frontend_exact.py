@@ -210,7 +210,8 @@ def _round_up(v: int, mult: int) -> int:
     jax.jit,
     static_argnames=(
         "params", "cell_bits", "compact_cap", "max_cells",
-        "min_cell_points", "interpret", "_cut",
+        "min_cell_points", "interpret", "_cut", "axis_name",
+        "local_rows", "return_acc",
     ),
 )
 def exact_extract_graph(
@@ -224,6 +225,9 @@ def exact_extract_graph(
     min_cell_points: int = 1,
     interpret: bool = False,
     _cut: int = 0,
+    axis_name: str | None = None,
+    local_rows: int | None = None,
+    return_acc: bool = False,
 ):
     """Exact extraction forward step (see module docstring).
 
@@ -240,6 +244,17 @@ def exact_extract_graph(
       survivor count — > compact_cap means the tail was dropped),
       cells_overflow (f32: dense cells beyond max_cells + 1.0 if the
       compaction capacity overflowed).
+
+    Multi-device (inside shard_map; parallel/sharded.py mode='exact'):
+      axis_name: psums the ground-percentile bisection (EXACT global
+        np.percentile over the union of shards) and pmins the cell-grid
+        anchor, so every shard cuts and quantizes identically;
+      local_rows: rows >= local_rows are halo ghosts — they participate
+        in clustering (full eps-neighborhood at tile boundaries) but are
+        excluded from the OBB accumulators (their home shard accumulates
+        them), making the gathered merge exact;
+      return_acc: also return the raw accumulators under 'acc' for the
+        cross-shard exact merge.
     """
     from pointcloudhookup_tpu.models.towers import filter_and_dedup
 
@@ -265,11 +280,14 @@ def exact_extract_graph(
     cell = eps / 2.0
 
     # ---- exact ground base + cut (reference semantics:
-    # /root/reference/utils/tower_extraction.py:83-89)
+    # /root/reference/utils/tower_extraction.py:83-89); with axis_name
+    # the base and the retry decision are global and replicated
     z = xyz[:, 2]
-    base = masked_percentile_bisect(z, mask, gp.percentile)
+    base = masked_percentile_bisect(z, mask, gp.percentile, axis_name)
     keep0 = mask & (z > base + jnp.float32(gp.offset))
     n0 = jnp.sum(keep0.astype(jnp.int32))
+    if axis_name is not None:
+        n0 = lax.psum(n0, axis_name)
     used_retry = n0 < gp.min_points_after
     keep = jnp.where(
         used_retry, mask & (z > base + jnp.float32(gp.retry_offset)), keep0
@@ -303,13 +321,16 @@ def exact_extract_graph(
         return dict(xs0=xs0, cnt=cnt)
 
     # ---- cell keys: identical assignment arithmetic to grid_dbscan
-    # (floor((p - mn) / (eps/2)) against the kept-set f32 min corner)
+    # (floor((p - mn) / (eps/2)) against the kept-set f32 min corner;
+    # pmin'd across shards so every shard's grid shares one anchor)
     mn = jnp.stack(
         [
             jnp.min(jnp.where(valid0, v, big))
             for v in (xs0, ys0, zs0)
         ]
     )
+    if axis_name is not None:
+        mn = lax.pmin(mn, axis_name)
     i0 = jnp.floor((xs0 - mn[0]) / cell).astype(jnp.int32)
     i1 = jnp.floor((ys0 - mn[1]) / cell).astype(jnp.int32)
     i2 = jnp.floor((zs0 - mn[2]) / cell).astype(jnp.int32)
@@ -417,14 +438,20 @@ def exact_extract_graph(
     if _cut == 6:
         return dict(labels_s=labels_s)
 
-    # ---- sort-free OBB over the raw coordinates + acceptance filters
+    # ---- sort-free OBB over the raw coordinates + acceptance filters.
+    # Halo ghost rows (original index >= local_rows) informed the
+    # density/connectivity decisions above but are accumulated by their
+    # home shard only — label them out here.
+    labels_acc = labels_s
+    if local_rows is not None:
+        labels_acc = jnp.where(rows_s < jnp.int32(local_rows), labels_s, -1)
     if on_tpu:
         from pointcloudhookup_tpu.ops.pallas.obb_accum import (
             obb_accumulate_xyz,
         )
 
         acc = obb_accumulate_xyz(
-            xs, ys, zs, labels_s, max_clusters=params.max_clusters,
+            xs, ys, zs, labels_acc, max_clusters=params.max_clusters,
             num_angles=params.obb_angles,
         )
     else:
@@ -433,7 +460,7 @@ def exact_extract_graph(
         )
 
         acc = obb_accumulate_xyz_reference(
-            xs, ys, zs, labels_s, max_clusters=params.max_clusters,
+            xs, ys, zs, labels_acc, max_clusters=params.max_clusters,
             num_angles=params.obb_angles,
         )
     from pointcloudhookup_tpu.ops.obb import _obb_from_accum
@@ -445,7 +472,7 @@ def exact_extract_graph(
         jnp.maximum(n_dense - jnp.int32(m), 0).astype(jnp.float32)
         + compact_over
     )
-    return dict(
+    out = dict(
         accepted=accepted,
         labels_sorted=labels_s,
         rows_sorted=rows_s,
@@ -456,3 +483,6 @@ def exact_extract_graph(
         core_overflow=core_overflow,
         **stats,
     )
+    if return_acc:
+        out["acc"] = acc
+    return out

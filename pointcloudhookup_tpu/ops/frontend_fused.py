@@ -212,6 +212,14 @@ def fused_downsample_ground_cluster(
     # ---- Morton keys + ONE sort.  Coordinates ride as payloads only
     # when true centroids are needed; geometric mode sorts 3 operands.
     mn = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    # snap the grid origin to the GLOBAL voxel lattice (multiples of
+    # voxel_size in the tile frame): quantization boundaries then agree
+    # across shards/tilings of the same corridor, so a boundary-split
+    # tower's voxel centers are bit-identical between a sharded run and
+    # a single-device run (the multi-device exact merge needs this —
+    # with per-shard free origins the lattices disagree by a sub-voxel
+    # offset and merged extremes drift by up to voxel_size/2)
+    mn = jnp.floor(mn / voxel_size) * voxel_size
     v = jnp.floor((xyz - mn) / voxel_size).astype(jnp.int32)
     hi, lo = morton_encode(v[:, 0], v[:, 1], v[:, 2])
     hi = jnp.where(mask, hi, SENTINEL_HI)

@@ -194,6 +194,36 @@ def cluster_obb_stats_accum(
     Exact (no per_cluster_cap), 'overflow' is always 0.  The flat
     num_angles grid gives the same pi/2/A resolution as the sort
     path's coarse+refine search."""
+    acc = cluster_obb_accumulators(
+        hi, lo, labels, mask, mn, voxel_size=voxel_size,
+        max_clusters=max_clusters, num_angles=num_angles, block=block,
+        use_pallas=use_pallas,
+    )
+    return _obb_from_accum(acc, max_clusters, num_angles)
+
+
+def cluster_obb_accumulators(
+    hi,
+    lo,
+    labels,
+    mask,
+    mn,
+    *,
+    voxel_size: float = 0.1,
+    max_clusters: int = 128,
+    num_angles: int = 256,
+    block: int = 1024,
+    use_pallas: bool = True,
+):
+    """RAW per-cluster OBB accumulators over Morton-coded rows:
+    dict(cnt[K], sx, sy, sz, zlo, zhi, ulo[K,A], uhi, vlo, vhi).
+
+    The accumulators are exactly combinable (sum / min / max), which is
+    what the multi-device merge needs: summing two shards' accumulators
+    for the same physical cluster and re-deriving stats equals a
+    single-device run over the union of members (f32 summation order
+    aside) — see parallel/sharded.py.  `obb_stats_from_accumulators`
+    is the shared finisher."""
     from pointcloudhookup_tpu.ops.pallas.obb_accum import (
         obb_accumulate,
         obb_accumulate_reference,
@@ -202,16 +232,51 @@ def cluster_obb_stats_accum(
     k = max_clusters
     lab = jnp.where((labels >= 0) & (labels < k) & mask, labels, -1)
     if use_pallas:
-        acc = obb_accumulate(
+        return obb_accumulate(
             hi, lo, lab, mn, voxel_size=voxel_size, max_clusters=k,
             num_angles=num_angles, block=block,
         )
-    else:
-        acc = obb_accumulate_reference(
-            hi, lo, lab, mn, voxel_size=voxel_size, max_clusters=k,
-            num_angles=num_angles,
+    return obb_accumulate_reference(
+        hi, lo, lab, mn, voxel_size=voxel_size, max_clusters=k,
+        num_angles=num_angles,
+    )
+
+
+def cluster_obb_accumulators_xyz(
+    xyz,
+    labels,
+    mask,
+    *,
+    max_clusters: int = 128,
+    num_angles: int = 256,
+    block: int = 1024,
+    use_pallas: bool = True,
+):
+    """cluster_obb_accumulators over RAW coordinates (modular path: no
+    Morton codes).  Same return contract."""
+    from pointcloudhookup_tpu.ops.pallas.obb_accum import (
+        obb_accumulate_xyz,
+        obb_accumulate_xyz_reference,
+    )
+
+    k = max_clusters
+    lab = jnp.where((labels >= 0) & (labels < k) & mask, labels, -1)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    if use_pallas and xyz.shape[0] % block == 0:
+        return obb_accumulate_xyz(
+            x, y, z, lab, max_clusters=k, num_angles=num_angles,
+            block=block,
         )
-    return _obb_from_accum(acc, k, num_angles)
+    return obb_accumulate_xyz_reference(
+        x, y, z, lab, max_clusters=k, num_angles=num_angles,
+    )
+
+
+def obb_stats_from_accumulators(acc, max_clusters: int, num_angles: int):
+    """Public finisher: per-cluster stats dict from raw accumulators
+    (single source of the center/extent/angle derivation for the
+    single-chip accum path AND the multi-device exact merge)."""
+    return _obb_from_accum(acc, max_clusters, num_angles)
 
 
 def _obb_from_accum(acc, k, num_angles):

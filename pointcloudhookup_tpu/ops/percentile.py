@@ -55,26 +55,29 @@ def _f32_from_ordered_bits(u):
     return lax.bitcast_convert_type(b, jnp.float32)
 
 
-def _order_statistic_bits(ubits, mask, rank):
+def _order_statistic_bits(ubits, mask, rank, axis_name=None):
     """Bit pattern of the (rank+1)-th smallest masked element.
 
     The wanted value v* is the largest u32 a with count(ubits < a) <=
     rank (count(< v*) is v*'s first-occurrence index <= rank, and
     count(< v*+1) >= rank+1).  The predicate is monotone in a, so a is
     built greedily from the MSB: 32 masked [N] count-reductions instead
-    of a full [N] sort.
+    of a full [N] sort.  With axis_name, counts are psum'd so the
+    statistic is over the UNION of all shards' masked elements.
     """
     rank = rank.astype(jnp.int32)
 
     def body(b, ans):
         trial = ans | (jnp.uint32(1) << (31 - b))
         cnt = jnp.sum((mask & (ubits < trial)).astype(jnp.int32))
+        if axis_name is not None:
+            cnt = lax.psum(cnt, axis_name)
         return jnp.where(cnt <= rank, trial, ans)
 
     return lax.fori_loop(0, 32, body, jnp.uint32(0))
 
 
-def masked_percentile_bisect(x, mask, q):
+def masked_percentile_bisect(x, mask, q, axis_name=None):
     """Exact masked percentile WITHOUT the full [N] sort.
 
     Bit-identical to masked_percentile (numpy 'linear' interpolation on
@@ -82,22 +85,32 @@ def masked_percentile_bisect(x, mask, q):
     bisection on the order-preserving u32 view of f32 — 33 masked [N]
     count/min passes (~1.5 ms at 4M on v5e) vs ~9 ms for the sort.
     Assumes at least one valid element.
+
+    With axis_name (inside shard_map), the percentile is EXACT over the
+    union of every shard's masked elements: each of the 33 passes psums
+    one scalar count over ICI — the distributed twin of np.percentile
+    with no histogram approximation.
     """
     x = jnp.asarray(x)
     n = jnp.sum(mask.astype(jnp.int32))
+    if axis_name is not None:
+        n = lax.psum(n, axis_name)
     h = (n - 1).astype(jnp.float32) * (jnp.float32(q) / 100.0)
     lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, n - 1)
     hi = jnp.clip(lo + 1, 0, n - 1)
     frac = h - lo.astype(jnp.float32)
 
     u = _f32_ordered_bits(x)
-    v_lo = _order_statistic_bits(u, mask, lo)
+    v_lo = _order_statistic_bits(u, mask, lo, axis_name)
     # (hi+1)-th smallest: if v_lo still covers rank hi it IS v_hi, else
     # v_hi is the smallest masked value strictly above v_lo — one more
     # combined count/min pass instead of a second 32-step bisection
     above = mask & (u > v_lo)
     cnt_le = jnp.sum((mask & (u <= v_lo)).astype(jnp.int32))
     nxt = jnp.min(jnp.where(above, u, jnp.uint32(0xFFFFFFFF)))
+    if axis_name is not None:
+        cnt_le = lax.psum(cnt_le, axis_name)
+        nxt = lax.pmin(nxt, axis_name)
     v_hi = jnp.where(cnt_le >= hi + 1, v_lo, nxt)
     x_lo = _f32_from_ordered_bits(v_lo)
     x_hi = _f32_from_ordered_bits(v_hi)

@@ -8,6 +8,7 @@ from pointcloudhookup_tpu.viz.boxes import (  # noqa: F401
 )
 from pointcloudhookup_tpu.viz.export import (  # noqa: F401
     colors_from_labels,
+    export_scene_las,
     export_scene_ply,
     height_colors,
     read_ply_scene,

@@ -2,8 +2,7 @@
 
 The reference inspects results in a live VTK window
 (/root/reference/ui/vtk_widget.py:30-109, display_full_scene); this
-build is headless, so the equivalent deliverable is a file any desktop
-viewer (CloudCompare, MeshLab, Open3D) opens directly: one binary
+build is headless, so the equivalent deliverable is one binary
 little-endian PLY carrying
 
   * the point cloud with per-point RGB — cluster colors when labels
@@ -11,6 +10,11 @@ little-endian PLY carrying
     towers.py:155-197), else a height colormap;
   * the enlarged tower wireframes (viz/boxes.py linesets) as extra
     colored vertices joined by PLY `edge` elements.
+
+Viewer support: the colored vertices load in every PLY-capable viewer
+(CloudCompare, MeshLab, Open3D); the `edge` element is nonstandard —
+MeshLab renders the wireframes, CloudCompare and Open3D's
+read_point_cloud load the vertices and skip the edges.
 
 A matching minimal reader (`read_ply_scene`) exists for round-trip
 tests and programmatic consumers.
@@ -177,9 +181,11 @@ def export_scene_las(
     display_cap: int = 500_000,
     seed: int = 0,
 ) -> dict:
-    """Colored LAS twin of export_scene_ply: point format 2 (u16 RGB,
-    u8 colors scaled x257 per the LAS convention).  Wireframes cannot
-    ride in LAS — use the PLY export when boxes are wanted."""
+    """Colored LAS/LAZ twin of export_scene_ply: point format 2 (u16
+    RGB, u8 colors scaled x257 per the LAS convention).  A path ending
+    in `.laz` is LASzip-compressed via io.laz.write_laz; anything else
+    gets raw LAS bytes.  Wireframes cannot ride in LAS — use the PLY
+    export when boxes are wanted."""
     from pointcloudhookup_tpu.io.las import make_las, write_las
     from pointcloudhookup_tpu.viz.boxes import subsample_indices
 
@@ -199,7 +205,12 @@ def export_scene_las(
     las.points["red"], las.points["green"], las.points["blue"] = (
         rgb16[:, 0], rgb16[:, 1], rgb16[:, 2],
     )
-    write_las(las, path)
+    if str(path).lower().endswith(".laz"):
+        from pointcloudhookup_tpu.io.laz import write_laz
+
+        write_laz(las, path)
+    else:
+        write_las(las, path)
     return {"vertices": int(len(idx)), "cloud_points": int(len(idx)),
             "boxes": 0, "edges": 0}
 
@@ -222,11 +233,22 @@ def read_ply_scene(path: str):
             counts[current] = int(parts[2])
             props[current] = []
         elif parts[0] == "property" and current:
+            if parts[1] == "list":
+                raise ValueError(
+                    "list properties are not supported by this reader "
+                    f"(element {current!r}: {ln.strip()!r})"
+                )
             props[current].append((parts[-1], parts[1]))
     typemap = {"float": "<f4", "uchar": "u1", "int": "<i4"}
     off = end
     out = {}
     for el in counts:
+        for _, t in props[el]:
+            if t not in typemap:
+                raise ValueError(
+                    f"unsupported PLY property type {t!r} in element {el!r} "
+                    "(this reader handles float/uchar/int)"
+                )
         dt = np.dtype([(n, typemap[t]) for n, t in props[el]])
         n = counts[el]
         out[el] = np.frombuffer(data, dt, count=n, offset=off)

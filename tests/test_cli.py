@@ -113,3 +113,41 @@ def test_cli_register_nondefault_eps(workspace, capsys, tmp_path):
     towers, _, _ = extract_from_points(read_las(las).xyz(), params)
     for pi, n in rows:
         assert int(n) == towers[int(pi)].num_points
+
+
+def test_cli_run_all(workspace, capsys, tmp_path):
+    """The flagship full-workflow command (compress -> extract ->
+    correct -> save, the reference's 8-button sweep in one invocation,
+    pyGUI_towers_test.py:73): the saved GIM must be byte-valid (776-byte
+    header preserved per save_cbm.py:141-150) and its BLHA lines
+    rewritten to the point-cloud-derived coordinates."""
+    tmp, las, gim, centers = workspace
+    out_gim = str(tmp_path / "all.gim")
+    with pytest.raises(SystemExit) as e:
+        main(["run-all", las, gim, out_gim, "--eps", "5",
+              "--min-points", "30",
+              "--output-folder", str(tmp_path / "og"),
+              "--csv", str(tmp_path / "r.csv")])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert f"{len(centers)} towers corrected" in out
+    assert (tmp_path / "r.csv").exists()
+    with open(gim, "rb") as f:
+        orig_hdr = f.read(776)
+    with open(out_gim, "rb") as f:
+        new_hdr = f.read(776)
+    assert len(new_hdr) == 776 and new_hdr == orig_hdr
+    # the corrected GIM re-parses; every tower's BLHA was rewritten
+    from pointcloudhookup_tpu.models import pipeline
+
+    before, _, _ = pipeline.import_gim(gim, str(tmp_path / "reparse_a"))
+    after, _, _ = pipeline.import_gim(out_gim, str(tmp_path / "reparse_b"))
+    assert len(after) == len(centers)
+    b = {r.name: (r.lat, r.lng, r.h) for r in before}
+    a = {r.name: (r.lat, r.lng, r.h) for r in after}
+    assert set(a) == set(b)
+    changed = [k for k in a if a[k] != b[k]]
+    assert len(changed) == len(centers)
+    # corrected positions stay near the originals (same towers, <=50 m)
+    for k in a:
+        assert abs(a[k][0] - b[k][0]) < 0.001 and abs(a[k][1] - b[k][1]) < 0.001

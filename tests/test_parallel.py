@@ -127,37 +127,129 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
-def test_merge_fragments_equal_count_tiebreak():
-    """Two equal-count fragments in one merge group must yield exactly
-    ONE representative (f32-epsilon tie-breaks fail above ~a few hundred
-    counts); the survivor carries the accumulated count."""
-    from pointcloudhookup_tpu.parallel.sharded import _merge_fragments
+def test_sharded_exact_mode_matches_single_device(rng):
+    """mode='exact' (psum'd bisection percentile + global cell anchor +
+    halo with ghost-excluded accumulation) on 4 devices must reproduce
+    the 1-device exact run's tower centers to ~f32 tolerance, on a
+    corridor whose towers straddle shard boundaries."""
+    import __graft_entry__ as ge
 
-    k = 8
-    lo = np.full((k, 3), 1e9, np.float32)
-    hi = np.full((k, 3), 1e9, np.float32)
-    # fragments 2 and 5: same AABB, equal large counts
-    lo[2] = lo[5] = [0.0, 0.0, 0.0]
-    hi[2] = hi[5] = [10.0, 10.0, 40.0]
-    counts = np.zeros(k, np.float32)
-    counts[2] = counts[5] = 4097.0
-    alive = np.zeros(k, bool)
-    alive[2] = alive[5] = True
-    stats = {
-        "count": jnp.asarray(counts),
-        "alive": jnp.asarray(alive),
-        "aabb_min": jnp.asarray(lo),
-        "aabb_max": jnp.asarray(hi),
+    from pointcloudhookup_tpu.ops.frontend_exact import exact_cell_plan
+
+    n_dev = 4
+    total = 8192
+    xyz, mask, planted = ge._boundary_corridor(total, n_towers=4, seed=5)
+    params = _params()
+    span = xyz[mask].max(axis=0) - xyz[mask].min(axis=0)
+    bits = exact_cell_plan(span, params.cluster.eps)
+    assert bits is not None
+
+    def run(nd):
+        mesh = tile_mesh(nd)
+        step, sh = make_sharded_extract(
+            mesh, params, mode="exact", exact_cell_bits=bits
+        )
+        xa = jax.device_put(jnp.asarray(xyz), sh)
+        ma = jax.device_put(jnp.asarray(mask), sh)
+        _, merged = step(xa, ma)
+        acc = np.asarray(merged["accepted"])
+        assert float(np.asarray(merged["halo_overflow"])) == 0.0
+        return np.asarray(merged["center"])[acc]
+
+    c_multi = run(n_dev)
+    c_single = run(1)
+    assert len(c_multi) == len(c_single) == 4
+    for c in c_multi:
+        d = np.linalg.norm(c_single - c[None, :], axis=1)
+        assert d.min() < 0.01
+    # and the planted towers are where they should be
+    for tc in planted:
+        d = np.linalg.norm(c_multi[:, :2] - tc[None, :2], axis=1)
+        assert d.min() < 3.0
+
+
+def test_sharded_exact_mode_requires_plan():
+    with pytest.raises(ValueError, match="exact_cell_bits"):
+        make_sharded_extract(tile_mesh(2), _params(), mode="exact")
+
+
+def test_merge_accumulators_exact(rng):
+    """The exact fragment merge must reproduce the SINGLE accumulation
+    over the union of members: split one cluster's points into two
+    fragments, accumulate each separately, merge, and compare against
+    accumulating the whole cluster at once (f32 order tolerance)."""
+    from pointcloudhookup_tpu.ops.pallas.obb_accum import (
+        obb_accumulate_xyz_reference,
+    )
+    from pointcloudhookup_tpu.parallel.sharded import _merge_accumulators
+
+    k, a = 8, 16
+    pts = rng.normal(0.0, 5.0, (400, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(0.0, 40.0, 400).astype(np.float32)
+    x, y, z = (jnp.asarray(pts[:, i]) for i in range(3))
+    lab_whole = jnp.zeros(400, jnp.int32)
+    whole = obb_accumulate_xyz_reference(
+        x, y, z, lab_whole, max_clusters=k, num_angles=a
+    )
+    # fragment A = first 250 points as cluster 1, B = rest as cluster 5
+    lab_split = jnp.where(jnp.arange(400) < 250, 1, 5).astype(jnp.int32)
+    frag = obb_accumulate_xyz_reference(
+        x, y, z, lab_split, max_clusters=k, num_angles=a
+    )
+    merged = jax.jit(lambda s: _merge_accumulators(s, 1e9))(frag)
+    counts = np.asarray(merged["cnt"])
+    assert counts[1] == 400.0 and counts[5] == 0.0
+    for key in ("sx", "sy", "sz"):
+        np.testing.assert_allclose(
+            float(np.asarray(merged[key])[1]),
+            float(np.asarray(whole[key])[0]),
+            rtol=1e-5,
+        )
+    for key in ("zlo", "zhi"):
+        assert float(np.asarray(merged[key])[1]) == float(
+            np.asarray(whole[key])[0]
+        )
+    for key in ("ulo", "uhi", "vlo", "vhi"):
+        np.testing.assert_array_equal(
+            np.asarray(merged[key])[1], np.asarray(whole[key])[0]
+        )
+
+
+def test_merge_accumulators_equal_count_tiebreak():
+    """Two equal-count fragments in one merge group must yield exactly
+    ONE surviving row (the min-index representative) carrying the
+    combined count."""
+    from pointcloudhookup_tpu.parallel.sharded import _merge_accumulators
+
+    k, a = 8, 4
+    big = np.float32(3.0e38)
+    acc = {
+        "cnt": np.zeros(k, np.float32),
+        "sx": np.zeros(k, np.float32),
+        "sy": np.zeros(k, np.float32),
+        "sz": np.zeros(k, np.float32),
+        "zlo": np.full(k, big, np.float32),
+        "zhi": np.full(k, -big, np.float32),
+        "ulo": np.full((k, a), big, np.float32),
+        "uhi": np.full((k, a), -big, np.float32),
+        "vlo": np.full((k, a), big, np.float32),
+        "vhi": np.full((k, a), -big, np.float32),
     }
-    merged = jax.jit(lambda s: _merge_fragments(s, 6.0))(stats)
-    alive_out = np.asarray(merged["alive"])
-    assert alive_out.sum() == 1
-    assert alive_out[2]  # lowest index wins the tie
-    assert float(np.asarray(merged["count"])[2]) == 8194.0
+    for i in (2, 5):
+        acc["cnt"][i] = 4097.0
+        acc["zlo"][i], acc["zhi"][i] = 0.0, 40.0
+        acc["ulo"][i], acc["uhi"][i] = 0.0, 10.0
+        acc["vlo"][i], acc["vhi"][i] = 0.0, 10.0
+        acc["sx"][i] = acc["sy"][i] = 5.0 * 4097.0
+        acc["sz"][i] = 20.0 * 4097.0
+    acc = {key: jnp.asarray(v) for key, v in acc.items()}
+    merged = jax.jit(lambda s: _merge_accumulators(s, 6.0))(acc)
+    counts = np.asarray(merged["cnt"])
+    assert (counts > 0).sum() == 1
+    assert counts[2] == 8194.0  # lowest index wins the tie
 
 
 @pytest.mark.heavy
-@pytest.mark.slow
 def test_sharded_fast_precut_engages(rng):
     """Shards >= 131072 rows engage the ground pre-cut against the
     GLOBAL psum'd base (frontend precut_div): towers must still match

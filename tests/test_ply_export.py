@@ -110,6 +110,47 @@ def test_colored_las_roundtrip(tmp_path):
     assert (las.points["blue"] == expect[:, 2]).all()
 
 
+def test_colored_laz_roundtrip(tmp_path):
+    """A .laz-named output must be genuinely LASzip-compressed (ADVICE
+    round 4: it used to be raw LAS bytes under a .laz name)."""
+    from pointcloudhookup_tpu.io.las import read_las
+    from pointcloudhookup_tpu.viz.export import export_scene_las
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 10, (300, 3))
+    path = str(tmp_path / "scene.laz")
+    export_scene_las(path, pts, labels=np.repeat(np.arange(3) - 1, 100))
+    with open(path, "rb") as f:
+        raw = f.read()
+    # a LAZ file advertises the laszip VLR; raw LAS would not
+    assert b"laszip encoded" in raw
+    las = read_las(path)
+    assert las.point_format == 2 and "red" in las.points.dtype.names
+    np.testing.assert_allclose(
+        np.sort(las.xyz(), axis=0), np.sort(pts, axis=0), atol=1e-3
+    )
+
+
+def test_read_ply_scene_clear_errors(tmp_path):
+    path = str(tmp_path / "odd.ply")
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 0\nproperty double x\nend_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+    with pytest.raises(ValueError, match="unsupported PLY property type"):
+        read_ply_scene(path)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element face 0\nproperty list uchar int vertex_indices\nend_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+    with pytest.raises(ValueError, match="list properties"):
+        read_ply_scene(path)
+
+
 def test_color_length_mismatch(tmp_path):
     with pytest.raises(ValueError):
         export_scene_ply(
