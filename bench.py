@@ -28,10 +28,10 @@ WARMUP = 2
 ITERS = 64
 
 
-def build_workload(n):
+def build_workload(n, seed=7):
     from pointcloudhookup_tpu.io.synthetic import synthetic_corridor
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     n_towers = 24
     xs = np.linspace(-1800, 1800, n_towers)
     ys = 80.0 * np.sin(xs / 500.0)
