@@ -14,16 +14,22 @@ d^2 is computed from coordinate DIFFERENCES (dx^2+dy^2+dz^2), not the
 |x|^2 - 2xy expansion: exact in f32 at corridor coordinate scales and
 needs no MXU (the K=3 contraction never fed it anyway).
 
-Culling is PRECOMPUTED at 256-element column-subtile granularity (the
-cluster_converge recipe): sparse tables (corridor vegetation cells)
-make 1024-element block AABBs span hundreds of meters, so block-level
-gap tests barely cull; their 256-element quarters do.  One tiny
-[nb, nb] XLA sort packs each row block's near column indices to the
-front; the kernel loops over exactly the near pairs and computes each
-visited block IN FULL — in-kernel predication is what the loop
-replaces (per-block lax.cond over ALL blocks cost 14 ms at 57k sparse
-cells; per-subtile pl.when bits cost ~4 us of Mosaic scheduling
-barrier EACH, 5x the work they skipped).
+Culling is PRECOMPUTED at 256-element subtile granularity on BOTH
+sides (round 5; the column side is the cluster_converge recipe):
+sparse tables (corridor vegetation cells) make 1024-element block
+AABBs span hundreds of meters, so block-level gap tests barely cull;
+their 256-element quarters do.  Near lists are built per ROW SUBTILE
+(256 rows) against column subtiles, then collapsed to column-block
+visits: one tiny [nb4, nb] XLA sort packs each row subtile's near
+column-block indices to the front; the kernel loops over exactly the
+near pairs and computes each visited block IN FULL for that row
+subtile ([256, 1024] evals/visit instead of [1024, 1024]) —
+in-kernel predication is what the loop replaces (per-block lax.cond
+over ALL blocks cost 14 ms at 57k sparse cells; per-subtile pl.when
+bits cost ~4 us of Mosaic scheduling barrier EACH, 5x the work they
+skipped).  Row-side tightening cut the exact path's pop pass from
+5.26 ms to 1.54 ms at the 4M bench tile's 38k alive cells (on-chip
+cut profile, scripts/profile_exact.py).
 
 Outputs (both in one pass):
   pop[i]  = sum_j  (d2(i,j) <= eps2 & allowed_j) * weight_j
@@ -50,7 +56,7 @@ _NSUB = _BLOCK // _SUB
 
 def _kernel(eps2_ref, ncnt_ref, ncol_ref,
             x_ref, y_ref, z_ref, label_ref, weight_ref, allowed_ref,
-            pop_ref, lmin_ref, pop_s, lmin_s, *, sentinel: int, mode: str):
+            pop_ref, lmin_ref, *, sentinel: int, mode: str):
     bm = pop_ref.shape[0]
     i = pl.program_id(0)
     eps2 = eps2_ref[0]
@@ -60,48 +66,65 @@ def _kernel(eps2_ref, ncnt_ref, ncol_ref,
     ry = y_ref[pl.ds(row_off, bm)]
     rz = z_ref[pl.ds(row_off, bm)]
 
-    pop_s[:] = jnp.zeros((bm,), jnp.float32)
-    lmin_s[:] = jnp.full((bm,), sentinel, jnp.int32)
+    # each 256-row subtile walks ITS near-column-block list with
+    # register accumulators (loop-carried [256] vectors)
+    for s in range(_NSUB):
+        rs = slice(s * _SUB, (s + 1) * _SUB)
+        rxs, rys, rzs = rx[rs], ry[rs], rz[rs]
 
-    def body(t, carry):
-        j = ncol_ref[i, t]
-        off = pl.multiple_of(j * _BLOCK, _BLOCK)
-        cx = x_ref[pl.ds(off, _BLOCK)]
-        cy = y_ref[pl.ds(off, _BLOCK)]
-        cz = z_ref[pl.ds(off, _BLOCK)]
-        lab = label_ref[pl.ds(off, _BLOCK)]
-        wgt = weight_ref[pl.ds(off, _BLOCK)]
-        alw = allowed_ref[pl.ds(off, _BLOCK)]
-        # every near block computes its FULL 1024 columns in static
-        # subtile slices with NO predication: a pl.when per subtile is
-        # a Mosaic scheduling barrier costing ~4 us — at ~600 visits x
-        # 4 subtiles that PREDICATION cost ~9 ms, 5x the ~1.7 ms of
-        # unconditional VPU work it was skipping.  Subtile-level AABBs
-        # still tighten the near LIST itself (built in XLA below).
-        for s in range(_NSUB):
-            sl = slice(s * _SUB, (s + 1) * _SUB)
-            dx = rx[:, None] - cx[sl][None, :]
-            dy = ry[:, None] - cy[sl][None, :]
-            dz = rz[:, None] - cz[sl][None, :]
-            d2 = dx * dx + dy * dy + dz * dz
-            nb = (d2 <= eps2) & (alw[sl] > 0)[None, :]
-            # mode-specialized: the pop pass never consumes lmin and the
-            # border pass never consumes pop — each reduction is ~40%
-            # of the visit's VPU work, so callers skip the dead one
-            if mode in ("both", "pop"):
-                pop_s[:] = pop_s[:] + jnp.sum(
-                    jnp.where(nb, wgt[sl][None, :], 0.0), axis=1
-                )
-            if mode in ("both", "lmin"):
-                lmin_s[:] = jnp.minimum(
-                    lmin_s[:],
-                    jnp.min(jnp.where(nb, lab[sl][None, :], sentinel), axis=1),
-                )
-        return carry
+        def body(t, carry, rxs=rxs, rys=rys, rzs=rzs, s=s):
+            pop_a, lmin_a = carry
+            j = ncol_ref[i * _NSUB + s, t]
+            off = pl.multiple_of(j * _BLOCK, _BLOCK)
+            cx = x_ref[pl.ds(off, _BLOCK)]
+            cy = y_ref[pl.ds(off, _BLOCK)]
+            cz = z_ref[pl.ds(off, _BLOCK)]
+            lab = label_ref[pl.ds(off, _BLOCK)]
+            wgt = weight_ref[pl.ds(off, _BLOCK)]
+            alw = allowed_ref[pl.ds(off, _BLOCK)]
+            # every near block computes its FULL 1024 columns in static
+            # subtile slices with NO predication: a pl.when per subtile
+            # is a Mosaic scheduling barrier costing ~4 us — at ~600
+            # visits x 4 subtiles that PREDICATION cost ~9 ms, 5x the
+            # VPU work it was skipping.  Subtile-level AABBs still
+            # tighten the near LIST itself (built in XLA below).
+            for cs in range(_NSUB):
+                sl = slice(cs * _SUB, (cs + 1) * _SUB)
+                dx = rxs[:, None] - cx[sl][None, :]
+                dy = rys[:, None] - cy[sl][None, :]
+                dz = rzs[:, None] - cz[sl][None, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                nb = (d2 <= eps2) & (alw[sl] > 0)[None, :]
+                # mode-specialized: the pop pass never consumes lmin and
+                # the border pass never consumes pop — each reduction is
+                # ~40% of the visit's VPU work, so callers skip the dead
+                # one
+                if mode in ("both", "pop"):
+                    pop_a = pop_a + jnp.sum(
+                        jnp.where(nb, wgt[sl][None, :], 0.0), axis=1
+                    )
+                if mode in ("both", "lmin"):
+                    lmin_a = jnp.minimum(
+                        lmin_a,
+                        jnp.min(
+                            jnp.where(nb, lab[sl][None, :], sentinel), axis=1
+                        ),
+                    )
+            return pop_a, lmin_a
 
-    jax.lax.fori_loop(0, ncnt_ref[i], body, 0)
-    pop_ref[:] = pop_s[:]
-    lmin_ref[:] = lmin_s[:]
+        pop_a, lmin_a = jax.lax.fori_loop(
+            0,
+            ncnt_ref[i * _NSUB + s],
+            body,
+            (
+                jnp.zeros((_SUB,), jnp.float32),
+                jnp.full((_SUB,), sentinel, jnp.int32),
+            ),
+        )
+        # static 256-stores (sublane-aligned); Mosaic cannot concatenate
+        # four 256-vectors into one 1024 register vector
+        pop_ref[rs] = pop_a
+        lmin_ref[rs] = lmin_a
 
 
 @functools.partial(
@@ -168,26 +191,24 @@ def neighbor_reduce(
             jnp.stack([xhi, yhi, zhi], axis=1),
         )
 
-    rlo, rhi = _aabb(finite, nb)
-    sblo, sbhi = _aabb(alw, nb * _NSUB)
+    nb4 = nb * _NSUB
+    rlo, rhi = _aabb(finite, nb4)  # row SUBTILE AABBs [nb4, 3]
+    sblo, sbhi = _aabb(alw, nb4)  # column subtile AABBs [nb4, 3]
 
-    # near bits per (row block, column subtile); empty AABBs give inf
+    # near bits per (row subtile, column subtile); empty AABBs give inf
     # gaps (clamped) that cull as intended
     gap = jnp.maximum(
         jnp.maximum(
-            sblo.reshape(nb, _NSUB, 3)[None, :, :, :] - rhi[:, None, None, :],
-            rlo[:, None, None, :] - sbhi.reshape(nb, _NSUB, 3)[None, :, :, :],
+            sblo.reshape(nb, _NSUB, 3)[None, :, :, :]
+            - rhi[:, None, None, :],
+            rlo[:, None, None, :]
+            - sbhi.reshape(nb, _NSUB, 3)[None, :, :, :],
         ),
         0.0,
     )
     gap = jnp.minimum(gap, big)
-    near_sub = jnp.sum(gap * gap, axis=-1) <= jnp.float32(eps2)  # [nb, nb, 4]
-    submask = jnp.sum(
-        near_sub.astype(jnp.int32)
-        << jnp.arange(_NSUB, dtype=jnp.int32)[None, None, :],
-        axis=-1,
-    )  # [nb, nb]
-    near = submask != 0
+    near_sub = jnp.sum(gap * gap, axis=-1) <= jnp.float32(eps2)  # [nb4,nb,4]
+    near = jnp.any(near_sub, axis=-1)  # [nb4, nb]: row subtile x col BLOCK
     cols = jnp.arange(nb, dtype=jnp.int32)[None, :]
     key = jnp.where(near, cols, nb + cols)
     key = jnp.sort(key, axis=1)
@@ -200,8 +221,8 @@ def neighbor_reduce(
         grid=(m // block_m,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps2
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # ncnt [nb]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # ncol [nb, nb]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ncnt [nb4]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ncol [nb4, nb]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x
             pl.BlockSpec(memory_space=pltpu.VMEM),  # y
             pl.BlockSpec(memory_space=pltpu.VMEM),  # z
@@ -216,10 +237,6 @@ def neighbor_reduce(
         out_shape=[
             jax.ShapeDtypeStruct((m,), jnp.float32),
             jax.ShapeDtypeStruct((m,), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_m,), jnp.float32),
-            pltpu.VMEM((block_m,), jnp.int32),
         ],
         interpret=interpret,
     )(
