@@ -50,11 +50,16 @@ def main():
     xyz_j = jnp.asarray(xyz)
     mask_j = jnp.asarray(mask)
     floor = params.cluster.min_cell_points
+    core_cap = 2048  # the routing's starting flood-table capacity
     while True:
         out = exact_extract_graph(
             xyz_j, mask_j, params, cell_bits=plan, compact_cap=ccap,
             max_cells=params.cluster.max_cells, min_cell_points=floor,
+            core_cap=core_cap,
         )
+        if float(np.asarray(out["core_overflow"])) > 0.0 and core_cap < 32768:
+            core_cap *= 4
+            continue
         if float(np.asarray(out["cells_overflow"])) > 0.0 and floor < 16:
             floor = min(floor * 2 if floor > 1 else 2, 16)
             continue
@@ -64,6 +69,7 @@ def main():
         return exact_extract_graph(
             xyz_j, mask_j, params, cell_bits=plan, compact_cap=ccap,
             max_cells=params.cluster.max_cells, min_cell_points=floor,
+            core_cap=core_cap,
         )
 
     def fence(o):
@@ -87,6 +93,7 @@ def main():
         n_points=n, towers_found=towers_found,
         towers_expected=len(centers),
         ms_per_iter=round(dt * 1e3, 2), density_floor=floor,
+        core_cap=core_cap,
         round3_modular_mpts=32.8,
         semantics="exact (parity with modular extract_step: "
                   "tests/test_exact_frontend.py)",

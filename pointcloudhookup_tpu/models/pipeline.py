@@ -203,7 +203,11 @@ def _extract_stats_exact_fast(
     The survivor compaction starts at N/4 capacity; should a tile keep
     more, ONE retry at full capacity is always exact (survivors <= N).
     Density-floor escalation mirrors extract_from_points' modular retry
-    loop.  _ccap injects a small starting capacity for tests."""
+    loop.  The core flood table starts small (2048 — corridor tiles have
+    ~1k core cells in a ~40k dense table, and the flood cost scales with
+    the table) and escalates x4 on core_overflow; only a 32768-core tile
+    falls back to the modular path.  _ccap injects a small starting
+    capacity for tests."""
     from pointcloudhookup_tpu.ops.frontend_exact import exact_extract_graph
 
     cap = xyz.shape[0]
@@ -211,18 +215,24 @@ def _extract_stats_exact_fast(
         round_up(max(cap // 4, 32768), 32768), cap
     )
     floor = params.cluster.min_cell_points
+    core_cap = 2048
     xyz_j = jnp.asarray(xyz)
     mask_j = jnp.asarray(mask)
     while True:
         stats = exact_extract_graph(
             xyz_j, mask_j, params, cell_bits=cell_bits, compact_cap=ccap,
             max_cells=params.cluster.max_cells, min_cell_points=floor,
+            core_cap=core_cap,
         )
         stats = {k: np.asarray(v) for k, v in stats.items()}
         if float(stats["core_overflow"]) > 0.0:
-            # more core cells than the flood table: the min-label flood
-            # is incomplete — the modular path is the correct fallback
-            # (a density-floor retry would not shrink CORE cells)
+            if core_cap < 32768:
+                core_cap *= 4
+                continue
+            # more core cells than the largest flood table: the
+            # min-label flood is incomplete — the modular path is the
+            # correct fallback (a density-floor retry would not shrink
+            # CORE cells)
             return None
         if int(stats["compact_count"]) > ccap:
             ccap = cap  # survivors <= N, so full capacity always fits

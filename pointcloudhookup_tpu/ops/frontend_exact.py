@@ -210,7 +210,7 @@ def _round_up(v: int, mult: int) -> int:
     jax.jit,
     static_argnames=(
         "params", "cell_bits", "compact_cap", "max_cells",
-        "min_cell_points", "interpret", "_cut", "axis_name",
+        "min_cell_points", "core_cap", "interpret", "_cut", "axis_name",
         "local_rows", "return_acc",
     ),
 )
@@ -223,6 +223,7 @@ def exact_extract_graph(
     compact_cap: int,
     max_cells: int = 65536,
     min_cell_points: int = 1,
+    core_cap: int = 16384,
     interpret: bool = False,
     _cut: int = 0,
     axis_name: str | None = None,
@@ -233,7 +234,11 @@ def exact_extract_graph(
 
     xyz f32[N,3] centered coords (N a multiple of 32768), mask bool[N];
     compact_cap: survivor capacity (multiple of 32768, <= N);
-    cell_bits: static per-axis key widths from exact_cell_plan().
+    cell_bits: static per-axis key widths from exact_cell_plan();
+    core_cap: core-cell flood-table capacity — corridor tiles have ~1k
+      core cells in a ~40k dense table, so a small table floods much
+      faster; a core_overflow > 0 result is INVALID and callers escalate
+      (see _extract_stats_exact_fast's x4 retry ladder).
 
     Returns a dict:
       per-cluster stats [K] (count, alive, centroid, center, extent,
@@ -417,7 +422,7 @@ def exact_extract_graph(
     eps2 = eps * eps
     cell_labels, core_overflow = _core_flood_cluster(
         centers, ccount, cell_alive, eps2, cp.min_points, on_tpu,
-        _cut=_cut,
+        core_cap=core_cap, _cut=_cut,
     )
     if _cut in (41, 42):
         return dict(v=cell_labels, o=core_overflow)

@@ -69,22 +69,29 @@ def main():
     xyz_j = jnp.asarray(xyz)
     mask_j = jnp.asarray(mask)
 
-    def run(floor):
+    def run(floor, core_cap):
         return exact_extract_graph(
             xyz_j, mask_j, params, cell_bits=plan, compact_cap=ccap,
             max_cells=params.cluster.max_cells, min_cell_points=floor,
+            core_cap=core_cap,
         )
 
-    # find the settled floor the wrapper used
+    # find the settled floor + core cap the wrapper used
     floor = params.cluster.min_cell_points
+    core_cap = 2048
     while True:
-        out = run(floor)
+        out = run(floor, core_cap)
         over = float(np.asarray(out["cells_overflow"]))
+        core_over = float(np.asarray(out["core_overflow"]))
         cnt = int(np.asarray(out["compact_count"]))
-        print(f"floor={floor}: cells_overflow={over} compact={cnt}/{ccap}",
+        print(f"floor={floor} core_cap={core_cap}: cells_overflow={over}"
+              f" core_overflow={core_over} compact={cnt}/{ccap}",
               flush=True)
         if cnt > ccap:
             raise SystemExit("survivor capacity overflow at N/4 — retune")
+        if core_over > 0.0 and core_cap < 32768:
+            core_cap *= 4
+            continue
         if over > 0.0 and floor < 16:
             floor = min(floor * 2 if floor > 1 else 2, 16)
             continue
@@ -95,12 +102,12 @@ def main():
         return np.asarray(o["accepted"][0:1])
 
     for _ in range(2):
-        fence(run(floor))
+        fence(run(floor, core_cap))
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            out = run(floor)
+            out = run(floor, core_cap)
         fence(out)
         dt = min(dt, (time.perf_counter() - t0) / ITERS)
     print(
@@ -120,11 +127,11 @@ def main():
         prev = 0.0
         names[41] = '+pop pass'; names[42] = '+core flood'
         for cut in (1, 2, 3, 4, 41, 42, 5, 6, 0):
-            def run_cut(floor=floor, cut=cut):
+            def run_cut(floor=floor, cut=cut, core_cap=core_cap):
                 return exact_extract_graph(
                     xyz_j, mask_j, params, cell_bits=plan, compact_cap=ccap,
                     max_cells=params.cluster.max_cells,
-                    min_cell_points=floor, _cut=cut,
+                    min_cell_points=floor, core_cap=core_cap, _cut=cut,
                 )
             def fence_cut(o):
                 v = next(iter(o.values()))
