@@ -100,12 +100,20 @@ def main():
     # ever feed the percentile).  PCH_BENCH_PRECUT=0 reverts.
     precut_div = int(os.environ.get("PCH_BENCH_PRECUT", "4"))
 
-    @functools.partial(_jax.jit, static_argnames=("sort_mode", "cell_plan"))
-    def frontend(xyz, mask, sort_mode="full", cell_plan=None):
+    # core flood table (only reached when max_cells >= 16384, i.e. the
+    # 16M/32k envelope config): starts small and is settled below by
+    # escalating on overflow, mirroring the product routing
+    core_cap = int(os.environ.get("PCH_BENCH_CORECAP", "2048"))
+
+    @functools.partial(
+        _jax.jit, static_argnames=("sort_mode", "cell_plan", "core_cap")
+    )
+    def frontend(xyz, mask, sort_mode="full", cell_plan=None,
+                 core_cap=16384):
         hi, lo, keep, labels, base, mn = fused_downsample_ground_cluster(
             xyz, mask, params, max_cells=max_cells, min_cell_points=3,
             geometric_voxels=True, emit="codes", sort_mode=sort_mode,
-            cell_plan=cell_plan, precut_div=precut_div,
+            cell_plan=cell_plan, precut_div=precut_div, core_cap=core_cap,
         )
         # sort-free OBB: streaming pallas accumulation over the Morton
         # rows replaces the full-N label sort (~45% of the iteration)
@@ -139,8 +147,32 @@ def main():
         # device tunnel; a 1-element device-side slice is neither
         return np.asarray(out[2][0:1])
 
+    # settle core_cap (envelope config only; small tables never reach
+    # the core-flood branch): probe once at the starting cap and, on
+    # overflow, size the table DIRECTLY from the reported spill count
+    # (core_overflow = n_core - cap), rounded up to a power of two —
+    # blind x4 escalation overshoots (this tile has ~9-16k core cells;
+    # 2048 -> 32768 measured 6.65 ms in the flood vs 4.25 at 16384)
+    if max_cells >= 16384:
+        for _ in range(2):
+            probe = fused_downsample_ground_cluster(
+                xyz, mask, params, max_cells=max_cells, min_cell_points=3,
+                geometric_voxels=True, emit="codes", sort_mode=sort_mode,
+                cell_plan=cell_plan, precut_div=precut_div,
+                core_cap=core_cap, return_cells_overflow=True,
+            )
+            # emit='codes' + return_cells_overflow returns (hi, lo,
+            # keep, labels, base, mn, cells_over, hier_over) — the
+            # core-flood overflow rides cells_over at index -2
+            over = float(np.asarray(probe[-2]))
+            if over <= 0.0 or core_cap >= max_cells:
+                break
+            need = core_cap + int(over)
+            core_cap = min(max_cells, 1 << (need - 1).bit_length())
+
     for _ in range(WARMUP):
-        out = frontend(xyz, mask, sort_mode=sort_mode, cell_plan=cell_plan)
+        out = frontend(xyz, mask, sort_mode=sort_mode, cell_plan=cell_plan,
+                       core_cap=core_cap)
         fence(out)
 
     # best-of-ROUNDS: each round queues ITERS dispatches and fences
@@ -150,7 +182,8 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            out = frontend(xyz, mask, sort_mode=sort_mode, cell_plan=cell_plan)
+            out = frontend(xyz, mask, sort_mode=sort_mode,
+                           cell_plan=cell_plan, core_cap=core_cap)
         fence(out)
         dt = min(dt, (time.perf_counter() - t0) / ITERS)
 
@@ -179,7 +212,7 @@ def main():
                     min_cell_points=3, geometric_voxels=True,
                     emit="codes", sort_mode=sort_mode,
                     cell_plan=cell_plan, precut_div=precut_div,
-                    _cut=cut,
+                    core_cap=core_cap, _cut=cut,
                 )
             return f
 
@@ -202,9 +235,13 @@ def main():
                     o = f(xyz, mask)
                 fence_any(o)
                 best = min(best, (time.perf_counter() - t0) / s_iters)
-            stages[stage_names[cut]] = round((best - prev) * 1e3, 2)
-            prev = best
-        stages["labels+obb+filters"] = round((dt - prev) * 1e3, 2)
+            # clamp at 0: XLA fuses across cut boundaries, so a prefix
+            # graph can occasionally time ABOVE a longer one at big
+            # tiles (the later cut lets the scheduler overlap more); a
+            # negative stage is measurement structure, not device work
+            stages[stage_names[cut]] = round(max(best - prev, 0.0) * 1e3, 2)
+            prev = max(best, prev)
+        stages["labels+obb+filters"] = round(max(dt - prev, 0.0) * 1e3, 2)
 
     result = {
         "metric": "extract_frontend_throughput",
@@ -217,6 +254,7 @@ def main():
             "towers_found": n_towers_found,
             "towers_expected": len(centers),
             "sort_mode": sort_mode,
+            "core_cap": core_cap if max_cells >= 16384 else None,
             "device": str(jax.devices()[0]),
             "stages_ms": stages,
         },

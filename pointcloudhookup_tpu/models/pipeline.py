@@ -196,6 +196,7 @@ def _extract_stats_exact_fast(
     params: ExtractParams,
     cell_bits,
     _ccap: Optional[int] = None,
+    _core_cap0: int = 2048,
 ) -> Optional[dict]:
     """Run the exact fast front-end with the modular path's density-floor
     retry contract; reconstruct input-order labels/ground_keep on host.
@@ -205,9 +206,12 @@ def _extract_stats_exact_fast(
     Density-floor escalation mirrors extract_from_points' modular retry
     loop.  The core flood table starts small (2048 — corridor tiles have
     ~1k core cells in a ~40k dense table, and the flood cost scales with
-    the table) and escalates x4 on core_overflow; only a 32768-core tile
-    falls back to the modular path.  _ccap injects a small starting
-    capacity for tests."""
+    the table) and on core_overflow is re-sized DIRECTLY from the spill
+    count (core_overflow = n_core - cap, so cap + spill is the exact
+    need; blind x4 escalation overshot 9-16k-core tiles to a 32768
+    table, measured ~1.6x the flood cost of the right-sized 16384);
+    only a >32768-core tile falls back to the modular path.  _ccap
+    injects a small starting capacity for tests."""
     from pointcloudhookup_tpu.ops.frontend_exact import exact_extract_graph
 
     cap = xyz.shape[0]
@@ -215,7 +219,7 @@ def _extract_stats_exact_fast(
         round_up(max(cap // 4, 32768), 32768), cap
     )
     floor = params.cluster.min_cell_points
-    core_cap = 2048
+    core_cap = _core_cap0
     xyz_j = jnp.asarray(xyz)
     mask_j = jnp.asarray(mask)
     while True:
@@ -227,7 +231,8 @@ def _extract_stats_exact_fast(
         stats = {k: np.asarray(v) for k, v in stats.items()}
         if float(stats["core_overflow"]) > 0.0:
             if core_cap < 32768:
-                core_cap *= 4
+                need = core_cap + int(stats["core_overflow"])
+                core_cap = min(32768, 1 << (need - 1).bit_length())
                 continue
             # more core cells than the largest flood table: the
             # min-label flood is incomplete — the modular path is the

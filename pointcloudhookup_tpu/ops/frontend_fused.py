@@ -137,7 +137,7 @@ def _dup_window_flags(key, w, depth: int, n: int):
         "params", "max_cells", "min_cell_points", "cell_shift",
         "geometric_voxels", "emit", "return_cells_overflow",
         "sort_mode", "hier_window", "cell_plan", "precut_div",
-        "precut_margin", "core_flood_cells", "_cut",
+        "precut_margin", "core_flood_cells", "core_cap", "_cut",
     ),
 )
 def fused_downsample_ground_cluster(
@@ -159,6 +159,7 @@ def fused_downsample_ground_cluster(
     precut_div: int = 0,
     precut_margin: float = 0.25,
     core_flood_cells: int = 16384,
+    core_cap: int = 16384,
     _cut: int = 0,
 ):
     """One-pass voxel downsample + global ground filter + cell-graph
@@ -178,6 +179,10 @@ def fused_downsample_ground_cluster(
     filter — and returns (hi, lo, keep, labels, base, mn) so the OBB
     stage can sort Morton codes (one payload fewer) and decode on its
     dense [K, P] member tensor instead (cluster_obb_stats_codes).
+
+    core_cap: core-cell flood-table capacity for the core-flood branch
+    (m >= core_flood_cells); on overflow the incomplete flood is
+    reported through cells_overflow and callers escalate or fall back.
     """
     if emit not in ("xyz", "codes"):
         raise ValueError(f"emit must be 'xyz' or 'codes', got {emit!r}")
@@ -683,7 +688,8 @@ def fused_downsample_ground_cluster(
         )
 
         cell_labels, core_flood_over = _core_flood_cluster(
-            centers, ccount, cell_alive, eps2, cp.min_points, use_pallas
+            centers, ccount, cell_alive, eps2, cp.min_points, use_pallas,
+            core_cap=core_cap,
         )
     elif use_pallas:
         # whole clustering loop — population pass, Jacobi min-label

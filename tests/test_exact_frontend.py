@@ -127,3 +127,20 @@ def test_exact_fast_compaction_overflow_retries_at_full_capacity():
     _assert_partition_equal(ref["labels"], got["labels"])
     np.testing.assert_array_equal(got["ground_keep"], ref["ground_keep"])
     assert int(got["accepted"].sum()) == len(centers)
+
+
+def test_exact_fast_core_cap_resizes_from_spill_count():
+    """A flood table smaller than the tile's core-cell count must be
+    re-sized DIRECTLY from the reported spill (core_overflow = n_core -
+    cap) and re-run — same result as the default-capacity run, no
+    silent truncation."""
+    xyz, mask, centers = _workload()
+    plan = _exact_fast_plan(xyz[mask].astype(np.float64), PARAMS, CAP)
+    ref = _extract_stats_exact_fast(xyz, mask, PARAMS, plan)
+    got = _extract_stats_exact_fast(
+        xyz, mask, PARAMS, plan, _core_cap0=8
+    )
+    assert got is not None
+    _assert_partition_equal(ref["labels"], got["labels"])
+    np.testing.assert_array_equal(got["ground_keep"], ref["ground_keep"])
+    assert int(got["accepted"].sum()) == len(centers)

@@ -249,3 +249,43 @@ def test_fused_core_flood_branch_matches_converge(corridor):
     np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(flood[2]))
     np.testing.assert_array_equal(np.asarray(base[3]), np.asarray(flood[3]))
     assert float(np.asarray(flood[6])) == float(np.asarray(base[6]))
+
+
+def test_fused_core_cap_overflow_reported_and_escalation_exact(corridor):
+    """The fused frontend's core-flood branch takes a right-sizable
+    `core_cap` (the 16M/32k envelope routing starts small and escalates
+    on overflow): an over-full core table must surface through
+    cells_overflow — never silently truncate — and a sufficient cap must
+    reproduce the converge-kernel branch's labels exactly."""
+    from pointcloudhookup_tpu.ops.frontend_fused import (
+        fused_downsample_ground_cluster,
+    )
+
+    pts, _ = corridor
+    origin = pts.mean(axis=0)
+    xyz, mask = pad_points((pts - origin).astype(np.float32), 8192)
+    kwargs = dict(
+        max_cells=2048, min_cell_points=1, geometric_voxels=True,
+        emit="codes", return_cells_overflow=True,
+        core_flood_cells=2048,  # force the core-flood branch
+    )
+    ref = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), _params(), **kwargs,
+        core_cap=2048,
+    )
+    tiny = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), _params(), **kwargs,
+        core_cap=8,
+    )
+    # a corridor tile has far more than 8 core cells: the incomplete
+    # flood must be flagged so callers escalate (never trusted silently)
+    assert float(np.asarray(tiny[6])) > 0.0
+    assert float(np.asarray(ref[6])) == 0.0
+    # escalated cap == converge-kernel branch, bit-identical labels
+    conv = fused_downsample_ground_cluster(
+        jnp.asarray(xyz), jnp.asarray(mask), _params(),
+        max_cells=2048, min_cell_points=1, geometric_voxels=True,
+        emit="codes", return_cells_overflow=True,
+        core_flood_cells=1 << 30,
+    )
+    np.testing.assert_array_equal(np.asarray(conv[3]), np.asarray(ref[3]))
