@@ -95,10 +95,14 @@ def main():
     max_cells = int(os.environ.get("PCH_BENCH_CELLS", "4096"))
 
     # ground pre-cut + butterfly-concentrator compaction: the dominant
-    # 2-key Morton sort and every downstream [N] pass run at N/4
-    # (~75-80% of corridor points are below the ground cut and only
-    # ever feed the percentile).  PCH_BENCH_PRECUT=0 reverts.
-    precut_div = int(os.environ.get("PCH_BENCH_PRECUT", "4"))
+    # 2-key Morton sort and every downstream [N] pass run at N/precut_div
+    # (~85% of corridor points are below the ground cut and only ever
+    # feed the percentile — the 4M tile keeps 607k survivors, so a /6
+    # capacity still fits with a 19% margin, and every post-cut stage
+    # shrinks with the capacity).  A settle probe below verifies zero
+    # pre-cut spill and relaxes toward /4 otherwise, so the measured
+    # configuration is always exact.  PCH_BENCH_PRECUT=0 reverts.
+    precut_div = int(os.environ.get("PCH_BENCH_PRECUT", "6"))
 
     # core flood table (only reached when max_cells >= 16384, i.e. the
     # 16M/32k envelope config): starts small and is settled below by
@@ -153,22 +157,39 @@ def main():
     # (core_overflow = n_core - cap), rounded up to a power of two —
     # blind x4 escalation overshoots (this tile has ~9-16k core cells;
     # 2048 -> 32768 measured 6.65 ms in the flood vs 4.25 at 16384)
+    def probe_overflow():
+        # emit='codes' + return_cells_overflow returns (hi, lo, keep,
+        # labels, base, mn, cells_over, hier_over) — every spill class
+        # (pre-cut capacity, dense-cell table, core flood) folds into
+        # cells_over at index -2
+        probe = fused_downsample_ground_cluster(
+            xyz, mask, params, max_cells=max_cells, min_cell_points=3,
+            geometric_voxels=True, emit="codes", sort_mode=sort_mode,
+            cell_plan=cell_plan, precut_div=precut_div,
+            core_cap=core_cap, return_cells_overflow=True,
+        )
+        return float(np.asarray(probe[-2]))
+
+    over = 0.0
     if max_cells >= 16384:
+        # envelope config: size the core flood table DIRECTLY from the
+        # spill count (core_overflow = n_core - cap); the envelope runs
+        # at the stock /4 pre-cut so the spill is unambiguous
         for _ in range(2):
-            probe = fused_downsample_ground_cluster(
-                xyz, mask, params, max_cells=max_cells, min_cell_points=3,
-                geometric_voxels=True, emit="codes", sort_mode=sort_mode,
-                cell_plan=cell_plan, precut_div=precut_div,
-                core_cap=core_cap, return_cells_overflow=True,
-            )
-            # emit='codes' + return_cells_overflow returns (hi, lo,
-            # keep, labels, base, mn, cells_over, hier_over) — the
-            # core-flood overflow rides cells_over at index -2
-            over = float(np.asarray(probe[-2]))
+            over = probe_overflow()
             if over <= 0.0 or core_cap >= max_cells:
                 break
             need = core_cap + int(over)
             core_cap = min(max_cells, 1 << (need - 1).bit_length())
+    elif precut_div > 4:
+        # headline config: the dense-cell table has ~500 slots of slack
+        # (3586 cells in 4096), so any spill here is pre-cut capacity —
+        # relax the divisor toward the stock /4 until the cut is clean
+        while True:
+            over = probe_overflow()
+            if over <= 0.0 or precut_div <= 4:
+                break
+            precut_div -= 1
 
     for _ in range(WARMUP):
         out = frontend(xyz, mask, sort_mode=sort_mode, cell_plan=cell_plan,
@@ -254,6 +275,8 @@ def main():
             "towers_found": n_towers_found,
             "towers_expected": len(centers),
             "sort_mode": sort_mode,
+            "precut_div": precut_div,
+            "overflow": over,
             "core_cap": core_cap if max_cells >= 16384 else None,
             "device": str(jax.devices()[0]),
             "stages_ms": stages,

@@ -45,12 +45,19 @@ def main():
     stats = _extract_stats_exact_fast(xyz, mask, params, plan)
     towers_found = int(stats["accepted"].sum())
 
-    # settled-graph throughput (floor from the routing's retry outcome)
+    # settled-graph throughput (floor from the routing's retry outcome).
+    # The survivor-compaction capacity is settled from the MEASURED
+    # survivor count (compact_count is the true pre-truncation count, so
+    # sizing to it is exact — the tile keeps ~607k of 4M and every
+    # post-compaction stage scales with the capacity); the product
+    # routing keeps the static N/4 so one compiled graph serves every
+    # tile, but a fixed-tile benchmark can right-size.
     ccap = max(n // 4 // 32768 * 32768, 32768)
     xyz_j = jnp.asarray(xyz)
     mask_j = jnp.asarray(mask)
     floor = params.cluster.min_cell_points
     core_cap = 2048  # the routing's starting flood-table capacity
+    sized_ccap = False
     while True:
         out = exact_extract_graph(
             xyz_j, mask_j, params, cell_bits=plan, compact_cap=ccap,
@@ -58,11 +65,21 @@ def main():
             core_cap=core_cap,
         )
         if float(np.asarray(out["core_overflow"])) > 0.0 and core_cap < 32768:
-            core_cap *= 4
+            need = core_cap + int(np.asarray(out["core_overflow"]))
+            core_cap = min(32768, 1 << (need - 1).bit_length())
             continue
         if float(np.asarray(out["cells_overflow"])) > 0.0 and floor < 16:
             floor = min(floor * 2 if floor > 1 else 2, 16)
             continue
+        if not sized_ccap:
+            sized_ccap = True
+            count = int(np.asarray(out["compact_count"]))
+            tight = max(-(-count // 32768) * 32768, 32768)
+            if tight < ccap:
+                ccap = tight
+                continue
+        # the settled graph must report a clean cut at the tight cap
+        assert int(np.asarray(out["compact_count"])) <= ccap
         break
 
     def run():
@@ -93,7 +110,7 @@ def main():
         n_points=n, towers_found=towers_found,
         towers_expected=len(centers),
         ms_per_iter=round(dt * 1e3, 2), density_floor=floor,
-        core_cap=core_cap,
+        core_cap=core_cap, compact_cap=ccap,
         round3_modular_mpts=32.8,
         semantics="exact (parity with modular extract_step: "
                   "tests/test_exact_frontend.py)",
