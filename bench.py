@@ -109,6 +109,12 @@ def main():
     # escalating on overflow, mirroring the product routing
     core_cap = int(os.environ.get("PCH_BENCH_CORECAP", "2048"))
 
+    # cluster-branch threshold: tables with >= this many cells route
+    # through the core-flood restructure instead of the one-invocation
+    # converge kernel.  PCH_BENCH_COREFLOOD=4096 forces core-flood for
+    # the headline's 4096-cell table (A/B experiment hook).
+    core_flood_cells = int(os.environ.get("PCH_BENCH_COREFLOOD", "16384"))
+
     @functools.partial(
         _jax.jit, static_argnames=("sort_mode", "cell_plan", "core_cap")
     )
@@ -118,6 +124,7 @@ def main():
             xyz, mask, params, max_cells=max_cells, min_cell_points=3,
             geometric_voxels=True, emit="codes", sort_mode=sort_mode,
             cell_plan=cell_plan, precut_div=precut_div, core_cap=core_cap,
+            core_flood_cells=core_flood_cells,
         )
         # sort-free OBB: streaming pallas accumulation over the Morton
         # rows replaces the full-N label sort (~45% of the iteration)
@@ -166,20 +173,35 @@ def main():
             xyz, mask, params, max_cells=max_cells, min_cell_points=3,
             geometric_voxels=True, emit="codes", sort_mode=sort_mode,
             cell_plan=cell_plan, precut_div=precut_div,
-            core_cap=core_cap, return_cells_overflow=True,
+            core_cap=core_cap, core_flood_cells=core_flood_cells,
+            return_cells_overflow=True,
         )
         return float(np.asarray(probe[-2]))
 
     over = 0.0
-    if max_cells >= 16384:
-        # envelope config: size the core flood table DIRECTLY from the
-        # spill count (core_overflow = n_core - cap); the envelope runs
-        # at the stock /4 pre-cut so the spill is unambiguous
-        for _ in range(2):
+    residual_spill = 0.0
+    if max_cells >= core_flood_cells:
+        # envelope config.  The combined cells_over flag folds three
+        # spill classes together, so classify first: probe at a
+        # FULL-SIZE flood table — whatever overflow remains there is
+        # irreducible by core_cap (it is dense-cell table spill and/or
+        # pre-cut spill; the 16M/32k envelope is a deliberate
+        # capacity-stress config whose tile has ~35.2k dense cells in
+        # the 32k table, a constant ~2.4k-cell spill every committed
+        # artifact since round 4 carried silently — now measured and
+        # reported).  Then size core_cap DIRECTLY from the spill DELTA
+        # at the small table (core_overflow = n_core - cap): blind x4
+        # escalation overshoots (2048 -> 32768 measured 6.65 ms in the
+        # flood vs 4.25 at the right-sized 16384).
+        want_cap = core_cap
+        core_cap = max_cells
+        residual_spill = probe_overflow()
+        core_cap = want_cap
+        for _ in range(3):
             over = probe_overflow()
-            if over <= 0.0 or core_cap >= max_cells:
+            if over <= residual_spill or core_cap >= max_cells:
                 break
-            need = core_cap + int(over)
+            need = core_cap + int(over - residual_spill)
             core_cap = min(max_cells, 1 << (need - 1).bit_length())
     elif precut_div > 4:
         # headline config: the dense-cell table has ~500 slots of slack
@@ -233,7 +255,8 @@ def main():
                     min_cell_points=3, geometric_voxels=True,
                     emit="codes", sort_mode=sort_mode,
                     cell_plan=cell_plan, precut_div=precut_div,
-                    core_cap=core_cap, _cut=cut,
+                    core_cap=core_cap,
+                    core_flood_cells=core_flood_cells, _cut=cut,
                 )
             return f
 
@@ -276,8 +299,17 @@ def main():
             "towers_expected": len(centers),
             "sort_mode": sort_mode,
             "precut_div": precut_div,
+            # residual_spill: dense cells beyond the max_cells table —
+            # a constant of the capacity-stress envelope config (the
+            # product resolver would split such a tile; models/
+            # overflow.py), measured at a full-size flood table so it
+            # is never confused with a core_cap or pre-cut spill.
+            # overflow: total spill at the SETTLED configuration; any
+            # excess over residual_spill would mean an under-sized
+            # core table or pre-cut — both must be 0 here.
             "overflow": over,
-            "core_cap": core_cap if max_cells >= 16384 else None,
+            "residual_spill": residual_spill,
+            "core_cap": core_cap if max_cells >= core_flood_cells else None,
             "device": str(jax.devices()[0]),
             "stages_ms": stages,
         },
